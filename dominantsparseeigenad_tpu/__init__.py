@@ -1,0 +1,33 @@
+"""dominantsparseeigenad_tpu — TPU-native differentiable dominant
+eigensolver framework.
+
+Brand-new JAX/XLA/Pallas/pjit implementation with the capabilities of the
+PyTorch reference ``buwantaiji/DominantSparseEigenAD`` (Xie, Liu & Wang,
+PRB 101, 245139 (2020), arXiv:2001.04121): dominant eigenpairs of symmetric
+and general square operators — dense, sparse, matrix-free, or sharded across
+a TPU mesh — with implicit-function-theorem derivative rules that compose to
+arbitrary order, so energies, fidelity susceptibilities and specific heats
+differentiate exactly through the eigensolver.
+"""
+
+from .ops import (
+    LinearOperator,
+    DenseOperator,
+    MatrixFreeOperator,
+    TransposedOperator,
+    ShiftedOperator,
+    DeflatedOperator,
+    as_operator,
+    lanczos,
+    lanczos_eigh,
+    power_iteration,
+    LanczosResult,
+    cg,
+    solve_spd,
+    solve_deflated,
+    solve_general,
+    dominant_eigh,
+    EighOptions,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,21 @@
+from .operators import (
+    LinearOperator,
+    DenseOperator,
+    MatrixFreeOperator,
+    TransposedOperator,
+    ShiftedOperator,
+    DeflatedOperator,
+    as_operator,
+)
+from .lanczos import lanczos, lanczos_eigh, power_iteration, LanczosResult
+from .cg import cg, solve_spd, solve_deflated, solve_general
+from .eigh import dominant_eigh, EighOptions
+
+__all__ = [
+    "LinearOperator", "DenseOperator", "MatrixFreeOperator",
+    "TransposedOperator", "ShiftedOperator", "DeflatedOperator",
+    "as_operator",
+    "lanczos", "lanczos_eigh", "power_iteration", "LanczosResult",
+    "cg", "solve_spd", "solve_deflated", "solve_general",
+    "dominant_eigh", "EighOptions",
+]

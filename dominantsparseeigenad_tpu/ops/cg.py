@@ -1,0 +1,163 @@
+"""Differentiable (deflated) linear solves — the backward-pass workhorse.
+
+Rebuild of the reference's ``CG.py``, which wraps conjugate-gradient in a
+``torch.autograd.Function`` so that the IFT backward of the eigensolver is
+itself differentiable (that is what makes the reference's second derivatives
+— fidelity susceptibility, specific heat — work).
+
+The TPU-native equivalent is ``jax.lax.custom_linear_solve``:
+
+* gradients of the *solution* w.r.t. ``b`` and the operator parameters are
+  computed by **additional solves with the same solver** (never by
+  differentiating through the CG iterations), exactly mirroring the
+  reference's trick where ``CG.backward`` calls CG again and emits the
+  operator adjoint as a lazy rank-1 term;
+* it is differentiable to **arbitrary order** and transpose-aware, which
+  ``jax.custom_vjp`` is not — this is why the whole framework builds on
+  JVP-style rules (see ``eigh.py``).
+
+The inner iteration is a ``lax.while_loop`` (static shapes, early exit on
+residual tolerance) — legal because no gradient ever traverses it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .operators import LinearOperator, as_operator
+
+
+def _project_out(V: jax.Array, x: jax.Array) -> jax.Array:
+    """x - V (V^T x); V is (N,) or (N, r) with orthonormal columns."""
+    if V.ndim == 1:
+        return x - V * jnp.vdot(V, x)
+    return x - V @ (V.T @ x)
+
+
+def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
+       tol: float = 1e-7, atol: float = 0.0, maxiter: int | None = None
+       ) -> jax.Array:
+    """Plain conjugate gradient for SPD ``matvec`` (jit/vmap friendly).
+
+    Equivalent of the reference's ``CG_torch`` plain-solver function
+    (reference ``CG.py``), with a ``lax.while_loop`` instead of a Python
+    loop so it compiles to a single XLA computation.
+    """
+    if maxiter is None:
+        maxiter = 10 * b.shape[-1]
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    r0 = b - matvec(x0)
+    bnorm2 = jnp.vdot(b, b).real
+    target2 = jnp.maximum(tol * tol * bnorm2, atol * atol)
+
+    def cond(state):
+        _, r, _, rs, it = state
+        return jnp.logical_and(rs > target2, it < maxiter)
+
+    def body(state):
+        x, r, p, rs, it = state
+        ap = matvec(p)
+        denom = jnp.vdot(p, ap).real
+        alpha = rs / jnp.where(denom == 0, 1.0, denom)
+        alpha = jnp.where(denom == 0, 0.0, alpha)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.vdot(r, r).real
+        beta = rs_new / jnp.where(rs == 0, 1.0, rs)
+        p = r + beta * p
+        return (x, r, p, rs_new, it + 1)
+
+    state0 = (x0, r0, r0, jnp.vdot(r0, r0).real, jnp.zeros((), jnp.int32))
+    x, *_ = lax.while_loop(cond, body, state0)
+    return x
+
+
+def solve_spd(matvec: Callable, b: jax.Array, *, tol: float = 1e-7,
+              maxiter: int | None = None) -> jax.Array:
+    """Differentiable SPD solve: CG wrapped in ``custom_linear_solve``.
+
+    ``matvec`` must be linear in its argument; any closed-over arrays
+    (operator parameters, shifts, deflation vectors) get gradients via
+    ``custom_linear_solve``'s built-in JVP — to arbitrary order.
+    """
+    solver = partial(cg, tol=tol, maxiter=maxiter)
+    return lax.custom_linear_solve(
+        matvec, b, solve=lambda mv, rhs: solver(mv, rhs), symmetric=True)
+
+
+def solve_deflated(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
+                   definite_sign: float | jax.Array = 1.0,
+                   tol: float = 1e-7, maxiter: int | None = None
+                   ) -> jax.Array:
+    """Differentiable solve of ``P (A - lam I) P x = P b`` on ``span(V)^⊥``.
+
+    This is the core operation of the eigensolver backward/JVP (reference
+    ``CG.py``: CG on ``(I-vv^T)(A-λI)(I-vv^T)``).  ``V`` holds the
+    eigenvector(s) being deflated — (N,) for the reference's rank-1 case,
+    (N, r) for block deflation of clustered eigenvalues (our extension).
+
+    ``definite_sign`` makes the restricted operator positive definite for
+    CG: +1 when ``lam`` is the algebraic minimum (A - λI ⪰ 0 on V⊥),
+    -1 when it is the maximum (solve λI - A instead).  The returned x still
+    satisfies the original (unsigned) equation.
+
+    The solution is the unique one orthogonal to ``span(V)``.
+    """
+    op = as_operator(op)
+    sign = jnp.asarray(definite_sign, dtype=b.dtype)
+
+    def deflated_mv(x):
+        px = _project_out(V, x)
+        y = op.matvec(px) - lam * px
+        return sign * _project_out(V, y)
+
+    def solver(mv, r):
+        # The deflated operator is singular on span(V).  The solves issued
+        # by custom_linear_solve's JVP/transpose rules can receive an rhs
+        # with a span(V) component (e.g. an eigenvector cotangent parallel
+        # to v) — project it onto the range first, or CG divides by a
+        # round-off-sized curvature and diverges.  Projecting implements
+        # the pseudo-inverse restricted to span(V)^⊥, which is exactly the
+        # IFT tangent space.
+        r = _project_out(V, r)
+        return _project_out(V, cg(mv, r, tol=tol, maxiter=maxiter))
+
+    rhs = sign * _project_out(V, b)
+    x = lax.custom_linear_solve(deflated_mv, rhs, solve=solver,
+                                symmetric=True)
+    # Keep x exactly in V⊥ (CG preserves it in exact arithmetic; re-project
+    # to stop round-off leaking a span(V) component into downstream grads).
+    return _project_out(V, x)
+
+
+def solve_general(matvec: Callable, rmatvec: Callable, b: jax.Array, *,
+                  tol: float = 1e-7, maxiter: int | None = None
+                  ) -> jax.Array:
+    """Differentiable solve for a general (non-symmetric) operator.
+
+    Used by the non-symmetric dominant eigensolver (``eig.py``) where the
+    deflated systems involve ``(A - λI)`` and its transpose (reference
+    ``eig.py`` backward).  Solved via CGNR — CG on the normal equations
+    ``A^T A x = A^T b`` — which only needs matvec+rmatvec and is
+    unconditionally applicable (at squared condition number cost; fine for
+    the well-gapped deflated systems this framework produces).
+    ``custom_linear_solve``'s ``transpose_solve`` makes it differentiable
+    and transposable.
+    """
+
+    def _cgnr(mv, rmv, rhs):
+        def normal_mv(x):
+            return rmv(mv(x))
+        return cg(normal_mv, rmv(rhs), tol=tol, maxiter=maxiter)
+
+    return lax.custom_linear_solve(
+        matvec, b,
+        solve=lambda mv, rhs: _cgnr(matvec, rmatvec, rhs),
+        transpose_solve=lambda mv, rhs: _cgnr(rmatvec, matvec, rhs),
+    )

@@ -1,0 +1,197 @@
+"""Krylov forward engines: Lanczos tridiagonalization and power iteration.
+
+TPU-native rebuild of the reference's ``Lanczos.py`` (``symeigLanczos``,
+≈100–160 LoC of eager torch).  Differences by design:
+
+* the k-step loop is a ``lax.scan`` with **static shapes** — XLA traces it
+  once; no data-dependent Python control flow;
+* **full reorthogonalization** is two (N, k) matmuls per step
+  (``Q^T w`` then ``Q @ coeffs``) — these land on the MXU, unlike the
+  reference's per-vector orthogonalization loop;
+* **breakdown-safe**: if ``beta ~ 0`` (invariant subspace found), the next
+  basis vector is replaced by a fresh orthonormalized pseudorandom vector
+  (thick-restart style) so shapes stay static and the extended Krylov space
+  keeps producing genuine Ritz values;
+* gradients NEVER flow through this loop — the differentiable eigensolver
+  (``eigh.py``) wraps it in an implicit-function-theorem ``custom_jvp``,
+  exactly as the reference never differentiates through its Lanczos
+  iteration either (its ``DominantSymeig.backward`` uses the adjoint
+  relations, reference ``symeig.py``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .operators import LinearOperator, as_operator
+
+_BREAKDOWN_REL_TOL = 1e-8
+
+
+class LanczosResult(NamedTuple):
+    """Raw k-step Lanczos factorization ``A Q ≈ Q T``.
+
+    alphas : (k,)   diagonal of the tridiagonal T
+    betas  : (k-1,) off-diagonal of T (0 where breakdown/restart occurred)
+    basis  : (N, k) orthonormal Lanczos vectors Q
+    """
+
+    alphas: jax.Array
+    betas: jax.Array
+    basis: jax.Array
+
+
+def _tridiagonal(alphas: jax.Array, betas: jax.Array) -> jax.Array:
+    k = alphas.shape[0]
+    t = jnp.diag(alphas)
+    if k > 1:
+        t = t + jnp.diag(betas, 1) + jnp.diag(betas, -1)
+    return t
+
+
+def lanczos(op, k: int, *, v0: jax.Array | None = None,
+            key: jax.Array | None = None,
+            reorthogonalize: bool = True) -> LanczosResult:
+    """Run k steps of Lanczos on a symmetric operator.
+
+    Parameters
+    ----------
+    op  : LinearOperator (or dense matrix) — assumed symmetric.
+    k   : number of Lanczos steps (static).
+    v0  : optional start vector (defaults to a pseudorandom vector).
+    key : PRNG key for the start/restart vectors (defaults to a fixed key —
+          deterministic by construction).
+    reorthogonalize : full reorthogonalization against all stored basis
+          vectors each step (strongly recommended; loss of orthogonality is
+          the classic Lanczos failure mode).
+    """
+    op = as_operator(op)
+    n, dtype = op.dim, op.dtype
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k = int(k)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    # Restart vectors: one per step, generated once outside the scan so the
+    # loop body stays shape-static.  restarts[0] doubles as the default v0.
+    restarts = jax.random.normal(key, (k, n), dtype=dtype)
+    q0 = restarts[0] if v0 is None else jnp.asarray(v0, dtype=dtype)
+    q0 = q0 / jnp.linalg.norm(q0)
+
+    basis0 = jnp.zeros((n, k), dtype=dtype).at[:, 0].set(q0)
+
+    def step(carry, inputs):
+        basis, q, q_prev, beta_prev = carry
+        i, restart = inputs
+
+        w = op.matvec(q)
+        alpha = jnp.vdot(q, w)
+        w = w - alpha * q - beta_prev * q_prev
+        if reorthogonalize:
+            # Unwritten columns of `basis` are zero, so a single masked
+            # projection against the full (N, k) block is exact — two
+            # MXU matmuls instead of a python loop over vectors.
+            w = w - basis @ (basis.T @ w)
+            w = w - basis @ (basis.T @ w)  # twice is enough (Kahan)
+        beta = jnp.linalg.norm(w)
+
+        # Breakdown: restart with a fresh vector orthogonal to the basis.
+        scale = jnp.sqrt(jnp.abs(alpha) ** 2 + beta_prev ** 2) + 1.0
+        broke = beta <= _BREAKDOWN_REL_TOL * scale
+        r = restart - basis @ (basis.T @ restart)
+        r = r / (jnp.linalg.norm(r) + jnp.finfo(dtype).tiny)
+        q_next = jnp.where(broke, r, w / jnp.where(broke, 1.0, beta))
+        beta_out = jnp.where(broke, jnp.zeros_like(beta), beta)
+
+        last = i >= k - 1
+        basis = lax.cond(
+            last,
+            lambda b: b,
+            lambda b: b.at[:, i + 1].set(q_next),
+            basis,
+        )
+        return (basis, q_next, q, beta_out), (alpha, beta_out)
+
+    (basis, _, _, _), (alphas, betas) = lax.scan(
+        step,
+        (basis0, q0, jnp.zeros_like(q0), jnp.zeros((), dtype=dtype)),
+        (jnp.arange(k), restarts),
+    )
+    return LanczosResult(alphas=alphas, betas=betas[:-1] if k > 1
+                         else jnp.zeros((0,), dtype=dtype), basis=basis)
+
+
+def lanczos_eigh(op, k: int, *, extreme: str = "both",
+                 v0: jax.Array | None = None,
+                 key: jax.Array | None = None,
+                 reorthogonalize: bool = True):
+    """Extremal eigenpair(s) of a symmetric operator via k-step Lanczos.
+
+    Functional equivalent of the reference's ``symeigLanczos(A, k, extreme,
+    sparse, dim)`` (reference ``Lanczos.py``) — the dense/sparse flag is
+    subsumed by the operator type, and ``dim`` by ``op.dim``.
+
+    Returns
+    -------
+    extreme="min"  -> (lambda_min, v_min)
+    extreme="max"  -> (lambda_max, v_max)
+    extreme="both" -> (lambda_min, v_min, lambda_max, v_max)
+    """
+    if extreme not in ("min", "max", "both"):
+        raise ValueError(f"extreme must be min|max|both, got {extreme!r}")
+    res = lanczos(op, k, v0=v0, key=key, reorthogonalize=reorthogonalize)
+    t = _tridiagonal(res.alphas, res.betas)
+    evals, evecs = jnp.linalg.eigh(t)
+
+    def _pair(idx):
+        lam = evals[idx]
+        v = res.basis @ evecs[:, idx]
+        v = v / jnp.linalg.norm(v)
+        # Sign gauge: make the largest-magnitude entry positive, so the
+        # result is deterministic across runs/backends.
+        pivot = v[jnp.argmax(jnp.abs(v))]
+        return lam, v * jnp.sign(pivot)
+
+    if extreme == "min":
+        return _pair(0)
+    if extreme == "max":
+        return _pair(k - 1)
+    lmin, vmin = _pair(0)
+    lmax, vmax = _pair(k - 1)
+    return lmin, vmin, lmax, vmax
+
+
+def power_iteration(op, num_iters: int = 100, *,
+                    v0: jax.Array | None = None,
+                    key: jax.Array | None = None,
+                    shift: float | jax.Array = 0.0):
+    """Dominant (largest |λ|) eigenpair via power iteration.
+
+    North-star addition (no reference analogue).  ``shift`` power-iterates
+    ``A + shift*I`` — useful to turn "algebraically largest" into
+    "largest magnitude" for negative-definite operators.
+
+    Returns ``(lam, v)`` with ``lam`` the Rayleigh quotient of ``A``.
+    """
+    op = as_operator(op)
+    n, dtype = op.dim, op.dtype
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    q0 = jax.random.normal(key, (n,), dtype=dtype) if v0 is None else (
+        jnp.asarray(v0, dtype=dtype))
+    q0 = q0 / jnp.linalg.norm(q0)
+    shift = jnp.asarray(shift, dtype=dtype)
+
+    def body(_, q):
+        w = op.matvec(q) + shift * q
+        return w / jnp.linalg.norm(w)
+
+    v = lax.fori_loop(0, num_iters, body, q0)
+    lam = jnp.vdot(v, op.matvec(v))
+    pivot = v[jnp.argmax(jnp.abs(v))]
+    return lam, v * jnp.sign(pivot)

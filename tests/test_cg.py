@@ -1,0 +1,98 @@
+"""Deflated-CG solve tests.
+
+Mirrors the reference's ``tests/test_CG.py``: correctness of the deflated
+solve against a direct dense solve, plus gradient checks through the solve
+(the reference uses ``torch.autograd.gradcheck`` on its CG
+``autograd.Function``; here ``jax.test_util.check_grads`` to order 2 through
+``lax.custom_linear_solve``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.test_util import check_grads
+
+from dominantsparseeigenad_tpu import (
+    DenseOperator, cg, solve_spd, solve_deflated, solve_general,
+)
+
+
+def spd_matrix(n, key):
+    a = jax.random.normal(key, (n, n), dtype=jnp.float64)
+    return a @ a.T + n * jnp.eye(n)
+
+
+def test_cg_matches_direct_solve():
+    n = 50
+    a = spd_matrix(n, jax.random.PRNGKey(0))
+    b = jax.random.normal(jax.random.PRNGKey(1), (n,), dtype=jnp.float64)
+    x = cg(lambda v: a @ v, b, tol=1e-12)
+    np.testing.assert_allclose(x, jnp.linalg.solve(a, b), atol=1e-8)
+
+
+def test_solve_spd_gradients():
+    n = 12
+    a = spd_matrix(n, jax.random.PRNGKey(2))
+    b = jax.random.normal(jax.random.PRNGKey(3), (n,), dtype=jnp.float64)
+
+    def f(a, b):
+        return solve_spd(lambda v: a @ v, b, tol=1e-13)
+
+    check_grads(f, (a, b), order=2, modes=["fwd", "rev"],
+                atol=1e-5, rtol=1e-5)
+
+
+def test_solve_deflated_correctness():
+    """x solves P(A-λI)P x = P b with x ⊥ v, for the true eigenpair."""
+    n = 40
+    key = jax.random.PRNGKey(4)
+    a = jax.random.normal(key, (n, n), dtype=jnp.float64)
+    a = (a + a.T) / 2
+    evals, evecs = jnp.linalg.eigh(a)
+    lam, v = evals[0], evecs[:, 0]
+    b = jax.random.normal(jax.random.PRNGKey(5), (n,), dtype=jnp.float64)
+
+    x = solve_deflated(DenseOperator(a), lam, v, b,
+                       definite_sign=+1.0, tol=1e-12)
+    # x ⊥ v
+    np.testing.assert_allclose(v @ x, 0.0, atol=1e-10)
+    # (A - λI) x = P b on the complement
+    pb = b - v * (v @ b)
+    lhs = a @ x - lam * x
+    np.testing.assert_allclose(lhs, pb, atol=1e-7)
+
+
+def test_solve_deflated_max_sign():
+    n = 30
+    a = jax.random.normal(jax.random.PRNGKey(6), (n, n), dtype=jnp.float64)
+    a = (a + a.T) / 2
+    evals, evecs = jnp.linalg.eigh(a)
+    lam, v = evals[-1], evecs[:, -1]
+    b = jax.random.normal(jax.random.PRNGKey(7), (n,), dtype=jnp.float64)
+    x = solve_deflated(DenseOperator(a), lam, v, b,
+                       definite_sign=-1.0, tol=1e-12)
+    pb = b - v * (v @ b)
+    np.testing.assert_allclose(a @ x - lam * x, pb, atol=1e-7)
+
+
+def test_solve_general_nonsymmetric():
+    n = 25
+    key = jax.random.PRNGKey(8)
+    a = jax.random.normal(key, (n, n), dtype=jnp.float64) + n * jnp.eye(n)
+    b = jax.random.normal(jax.random.PRNGKey(9), (n,), dtype=jnp.float64)
+    x = solve_general(lambda v: a @ v, lambda v: a.T @ v, b, tol=1e-13)
+    np.testing.assert_allclose(x, jnp.linalg.solve(a, b), atol=1e-6)
+
+
+def test_solve_general_gradients():
+    n = 10
+    a = jax.random.normal(jax.random.PRNGKey(10), (n, n),
+                          dtype=jnp.float64) + n * jnp.eye(n)
+    b = jax.random.normal(jax.random.PRNGKey(11), (n,), dtype=jnp.float64)
+
+    def f(a, b):
+        return solve_general(lambda v: a @ v, lambda v: a.T @ v, b,
+                             tol=1e-13)
+
+    check_grads(f, (a, b), order=2, modes=["fwd", "rev"],
+                atol=2e-4, rtol=2e-4)

@@ -1,0 +1,93 @@
+"""Lanczos / power-iteration forward tests.
+
+Mirrors the reference's ``tests/test_Lanczos.py`` strategy: random small
+symmetric matrices in float64, eigenpairs checked against the full dense
+eigendecomposition, on both the dense and the matvec-closure (matrix-free)
+paths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dominantsparseeigenad_tpu import (
+    DenseOperator, MatrixFreeOperator, lanczos, lanczos_eigh, power_iteration,
+)
+
+
+def random_symmetric(n, key, scale=1.0):
+    a = jax.random.normal(key, (n, n), dtype=jnp.float64)
+    return scale * (a + a.T) / 2
+
+
+@pytest.mark.parametrize("n,k,vec_atol", [(20, 20, 1e-10), (64, 40, 1e-7),
+                                          (300, 80, 1e-5)])
+def test_lanczos_eigh_dense_matches_eigh(n, k, vec_atol):
+    a = random_symmetric(n, jax.random.PRNGKey(n))
+    evals = jnp.linalg.eigvalsh(a)
+    lmin, vmin, lmax, vmax = lanczos_eigh(DenseOperator(a), k, extreme="both")
+    np.testing.assert_allclose(lmin, evals[0], rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(lmax, evals[-1], rtol=1e-9, atol=1e-9)
+    # Eigenvector residuals (Ritz residual ~ sqrt(eigenvalue error))
+    np.testing.assert_allclose(a @ vmin, lmin * vmin, atol=vec_atol)
+    np.testing.assert_allclose(a @ vmax, lmax * vmax, atol=vec_atol)
+    np.testing.assert_allclose(jnp.linalg.norm(vmin), 1.0, atol=1e-12)
+
+
+def test_lanczos_matrix_free_matches_dense():
+    n, k = 64, 40
+    a = random_symmetric(n, jax.random.PRNGKey(7))
+    op = MatrixFreeOperator(lambda p, x: p @ x, a, dim=n, dtype=jnp.float64)
+    l1, v1 = lanczos_eigh(DenseOperator(a), k, extreme="min")
+    l2, v2 = lanczos_eigh(op, k, extreme="min")
+    np.testing.assert_allclose(l1, l2, atol=1e-10)
+    np.testing.assert_allclose(v1, v2, atol=1e-8)
+
+
+def test_lanczos_basis_orthonormal():
+    n, k = 50, 30
+    a = random_symmetric(n, jax.random.PRNGKey(3))
+    res = lanczos(DenseOperator(a), k)
+    q = res.basis
+    np.testing.assert_allclose(q.T @ q, np.eye(k), atol=1e-10)
+
+
+def test_lanczos_breakdown_restart():
+    # Rank-deficient matrix with tiny Krylov space from a special start:
+    # A = diag(1, 2, 0, 0, ...); v0 = e1 -> invariant after 1 step.
+    n, k = 16, 8
+    d = jnp.zeros(n, dtype=jnp.float64).at[0].set(1.0).at[1].set(2.0)
+    a = jnp.diag(d)
+    v0 = jnp.zeros(n, dtype=jnp.float64).at[0].set(1.0)
+    lmin, vmin, lmax, vmax = lanczos_eigh(
+        DenseOperator(a), k, extreme="both", v0=v0)
+    # Despite the breakdown, restarts must find the true extremes.
+    np.testing.assert_allclose(lmax, 2.0, atol=1e-9)
+    np.testing.assert_allclose(lmin, 0.0, atol=1e-9)
+
+
+def test_lanczos_under_jit_and_vmap():
+    n, k = 32, 20
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    mats = jnp.stack([random_symmetric(n, kk) for kk in keys])
+
+    @jax.jit
+    def smallest(a):
+        lam, _ = lanczos_eigh(DenseOperator(a), k, extreme="min")
+        return lam
+
+    got = jax.vmap(smallest)(mats)
+    want = jnp.stack([jnp.linalg.eigvalsh(m)[0] for m in mats])
+    np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_power_iteration():
+    n = 40
+    a = random_symmetric(n, jax.random.PRNGKey(11))
+    # Shift so the dominant |λ| is the algebraic max.
+    a = a + 3.0 * jnp.linalg.norm(a, 2) * jnp.eye(n)
+    lam, v = power_iteration(DenseOperator(a), num_iters=500)
+    want = jnp.linalg.eigvalsh(a)[-1]
+    np.testing.assert_allclose(lam, want, rtol=1e-8)
+    np.testing.assert_allclose(a @ v, lam * v, atol=1e-5)
