@@ -1,0 +1,79 @@
+"""TFIM application tests — BASELINE configs #2 and #3.
+
+The reference validates its sparse path against dense ED and analytic
+results (examples/TFIM); same strategy here, as actual unit tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dominantsparseeigenad_tpu.models import (
+    tfim_operator, tfim_dense_hamiltonian, tfim_exact_e0,
+    tfim_ground_energy, tfim_ground_state, fidelity_susceptibility,
+    tfim_ed_observables,
+)
+from dominantsparseeigenad_tpu import dominant_eigh
+
+
+@pytest.mark.parametrize("n,g", [(8, 0.5), (8, 1.0), (10, 1.3)])
+def test_dense_vs_matrix_free_vs_jw(n, g):
+    """Three-way consistency: dense ED == matrix-free Lanczos == JW exact."""
+    h = tfim_dense_hamiltonian(n, g)
+    e_ed = jnp.linalg.eigvalsh(h)[0]
+    e_mf = tfim_ground_energy(n, g, k=80)
+    e_jw = tfim_exact_e0(n, g)
+    np.testing.assert_allclose(e_mf, e_ed, atol=1e-9)
+    np.testing.assert_allclose(e_jw, e_ed, atol=1e-9)
+
+
+def test_energy_derivatives_vs_jw_exact():
+    """BASELINE config #2: dE0/dg (and d2E0/dg2) via implicit backward vs
+    the analytic (Jordan-Wigner) result, N=10."""
+    n, g = 10, 0.7
+    e_fn = lambda g: tfim_ground_energy(n, g, k=80, tol=1e-12)
+    jw_fn = lambda g: tfim_exact_e0(n, g)
+    g = jnp.asarray(g, dtype=jnp.float64)
+
+    np.testing.assert_allclose(e_fn(g), jw_fn(g), atol=1e-9)
+    np.testing.assert_allclose(jax.grad(e_fn)(g), jax.grad(jw_fn)(g),
+                               atol=1e-8)
+    np.testing.assert_allclose(jax.grad(jax.grad(e_fn))(g),
+                               jax.grad(jax.grad(jw_fn))(g), atol=1e-6)
+
+
+def test_fidelity_susceptibility_vs_ed():
+    """chi_F through the eigensolver AD vs the sum-over-states ED oracle."""
+    n, g = 8, 0.9
+    chi_ad = fidelity_susceptibility(n, g, k=80, tol=1e-12)
+    _, _, _, chi_ed = tfim_ed_observables(n, g)
+    np.testing.assert_allclose(chi_ad, chi_ed, rtol=1e-7)
+
+
+def test_ed_observables_vs_ad_derivatives():
+    """Cross-check the ED oracle's d2E against AD through the eigensolver."""
+    n, g = 8, 1.1
+    g = jnp.asarray(g, dtype=jnp.float64)
+    _, de_ed, d2e_ed, _ = tfim_ed_observables(n, g)
+    e_fn = lambda g: tfim_ground_energy(n, g, k=80, tol=1e-12)
+    np.testing.assert_allclose(jax.grad(e_fn)(g), de_ed, atol=1e-8)
+    np.testing.assert_allclose(jax.grad(jax.grad(e_fn))(g), d2e_ed,
+                               atol=1e-6)
+
+
+def test_ground_state_is_eigenvector():
+    n, g = 10, 1.0
+    lam, v = tfim_ground_state(n, g, k=80)
+    op = tfim_operator(n, g)
+    resid = op.matvec(v) - lam * v
+    assert jnp.linalg.norm(resid) < 1e-8
+    np.testing.assert_allclose(jnp.linalg.norm(v), 1.0, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_n16_matrix_free_vs_jw():
+    """Larger matrix-free run (dim 65536) against the JW exact energy."""
+    n, g = 16, 1.0
+    e = tfim_ground_energy(n, g, k=120, tol=1e-10)
+    np.testing.assert_allclose(e, tfim_exact_e0(n, g), atol=1e-8)
