@@ -28,6 +28,8 @@ from .ops import (
     solve_general,
     dominant_eigh,
     EighOptions,
+    dominant_eig,
+    EigOptions,
 )
 
 __version__ = "0.1.0"

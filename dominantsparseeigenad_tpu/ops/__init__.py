@@ -10,6 +10,7 @@ from .operators import (
 from .lanczos import lanczos, lanczos_eigh, power_iteration, LanczosResult
 from .cg import cg, solve_spd, solve_deflated, solve_general
 from .eigh import dominant_eigh, EighOptions
+from .eig import dominant_eig, EigOptions
 
 __all__ = [
     "LinearOperator", "DenseOperator", "MatrixFreeOperator",
@@ -17,5 +18,5 @@ __all__ = [
     "as_operator",
     "lanczos", "lanczos_eigh", "power_iteration", "LanczosResult",
     "cg", "solve_spd", "solve_deflated", "solve_general",
-    "dominant_eigh", "EighOptions",
+    "dominant_eigh", "EighOptions", "dominant_eig", "EigOptions",
 ]

@@ -1,0 +1,126 @@
+"""Non-symmetric dominant_eig tests (reference tests/test_eig.py analogue).
+
+Random positive matrices (Perron–Frobenius guarantees a simple, real,
+positive dominant eigenvalue — the transfer-matrix setting), checked against
+numpy's full eig; gradients checked to order 2.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.test_util import check_grads
+
+from dominantsparseeigenad_tpu import MatrixFreeOperator, as_operator
+from dominantsparseeigenad_tpu.ops.eig import dominant_eig
+
+
+def positive_matrix(n, key):
+    return jax.random.uniform(key, (n, n), dtype=jnp.float64) + 0.1
+
+
+def numpy_dominant(a):
+    w, vr = np.linalg.eig(np.asarray(a))
+    i = np.argmax(w.real)
+    lam = w[i].real
+    r = vr[:, i].real
+    r = r / np.linalg.norm(r)
+    wl, vl = np.linalg.eig(np.asarray(a).T)
+    j = np.argmax(wl.real)
+    l = vl[:, j].real
+    l = l / (l @ r)
+    return lam, l, r
+
+
+def test_forward_matches_numpy_eig():
+    n = 40
+    a = positive_matrix(n, jax.random.PRNGKey(0))
+    lam, l, r = dominant_eig(a, num_iters=800)
+    lam_np, l_np, r_np = numpy_dominant(a)
+    np.testing.assert_allclose(lam, lam_np, rtol=1e-10)
+    np.testing.assert_allclose(jnp.abs(r @ r_np), 1.0, atol=1e-9)
+    np.testing.assert_allclose(l @ r, 1.0, atol=1e-10)
+    # residuals
+    np.testing.assert_allclose(a @ r, lam * r, atol=1e-8)
+    np.testing.assert_allclose(a.T @ l, lam * l, atol=1e-7)
+
+
+def test_eigenvalue_gradient_is_lrT():
+    """dλ/dA = l r^T with l^T r = 1 — the non-symmetric Hellmann-Feynman."""
+    n = 20
+    a = positive_matrix(n, jax.random.PRNGKey(1))
+
+    def lam_fn(a):
+        lam, _, _ = dominant_eig(a, num_iters=800, tol=1e-13)
+        return lam
+
+    g = jax.grad(lam_fn)(a)
+    lam, l, r = dominant_eig(a, num_iters=800)
+    np.testing.assert_allclose(g, jnp.outer(l, r), atol=1e-8)
+
+
+def test_check_grads_order2():
+    n = 12
+    a = positive_matrix(n, jax.random.PRNGKey(2))
+
+    def lam_fn(a):
+        lam, _, _ = dominant_eig(a, num_iters=600, tol=1e-13)
+        return lam
+
+    check_grads(lam_fn, (a,), order=2, modes=["fwd", "rev"],
+                atol=2e-4, rtol=2e-4)
+
+
+def test_check_grads_eigenvector_functional():
+    n = 10
+    a = positive_matrix(n, jax.random.PRNGKey(3))
+    w = jax.random.normal(jax.random.PRNGKey(4), (n,), dtype=jnp.float64)
+
+    def f(a):
+        lam, l, r = dominant_eig(a, num_iters=600, tol=1e-13)
+        return (w @ r) ** 2 + (w @ l) * lam
+
+    check_grads(f, (a,), order=1, modes=["fwd", "rev"],
+                atol=2e-4, rtol=2e-4)
+
+
+def test_matrix_free_matches_dense():
+    """Sparse-vs-dense cross-validation with rmatvec closure (the
+    reference's setDominantSparseEig(A, AT, ...) path)."""
+    n = 16
+    base = positive_matrix(n, jax.random.PRNGKey(5))
+    pert = jax.random.normal(jax.random.PRNGKey(6), (n, n),
+                             dtype=jnp.float64)
+
+    def dense_lam(g):
+        return dominant_eig(base + g * pert, num_iters=800, tol=1e-13)[0]
+
+    def mf_lam(g):
+        op = MatrixFreeOperator(
+            lambda g, x: base @ x + g * (pert @ x), g, dim=n,
+            dtype=jnp.float64, symmetric=False,
+            rmatvec_fn=lambda g, x: base.T @ x + g * (pert.T @ x))
+        return dominant_eig(op, num_iters=800, tol=1e-13)[0]
+
+    g = jnp.asarray(0.05, dtype=jnp.float64)
+    np.testing.assert_allclose(dense_lam(g), mf_lam(g), atol=1e-10)
+    np.testing.assert_allclose(jax.grad(dense_lam)(g), jax.grad(mf_lam)(g),
+                               atol=1e-8)
+    np.testing.assert_allclose(
+        jax.grad(jax.grad(dense_lam))(g), jax.grad(jax.grad(mf_lam))(g),
+        atol=1e-5)
+
+
+def test_symmetric_case_agrees_with_eigh_grad():
+    """On a symmetric matrix, dominant_eig's dλ/dA must equal v v^T."""
+    n = 14
+    a = positive_matrix(n, jax.random.PRNGKey(7))
+    a = (a + a.T) / 2
+
+    def lam_fn(a):
+        a = (a + a.T) / 2
+        return dominant_eig(a, num_iters=800, tol=1e-13)[0]
+
+    g = jax.grad(lam_fn)(a)
+    evals, evecs = jnp.linalg.eigh(a)
+    v = evecs[:, -1]
+    np.testing.assert_allclose(g, jnp.outer(v, v), atol=1e-8)
