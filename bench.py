@@ -1,0 +1,231 @@
+"""Headline benchmark — BASELINE.md driver-defined metric #2/#3.
+
+Workload (both frameworks, identical math and tolerances):
+    matrix-free TFIM, N = 20 spins (Hilbert dim 2^20 = 1,048,576)
+    -> k-step Lanczos ground state (E0, |psi0>)
+    -> dE0/dg (implicit-function-theorem / Hellmann-Feynman)
+    -> fidelity susceptibility chi_F = ||dpsi/dg||^2 via ONE deflated-CG
+       solve of (H - E0) dpsi = -(1 - |psi><psi|) (dH/dg) |psi>
+
+* "ours": this framework (JAX; runs on the TPU chip when present), f32.
+* baseline: the PyTorch reference's algorithm — eager torch on CPU,
+  hand-written Lanczos + deflated CG exactly as `DominantSparseEigenAD`
+  structures it (reference `Lanczos.py`/`CG.py`/`symeig.py`; re-implemented
+  fresh here, cost-equivalent: same k, same matvec structure, same CG).
+
+Prints ONE JSON line:
+    {"metric": "tfim_n20_eigenpair_grad_chi_time", "value": <our seconds>,
+     "unit": "s", "vs_baseline": <torch_seconds / our_seconds>}
+
+so vs_baseline > 1 means this framework is faster than the reference.
+Accuracy is asserted against the exact Jordan-Wigner E0/dE0 before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+N_SPINS = 20
+K_LANCZOS = 100
+G = 1.2          # off-critical: clean spectral gap, CG converges fast
+CG_TOL = 1e-5
+CG_MAXITER = 400
+REPEATS = 3
+
+
+# ---------------------------------------------------------------------------
+# Ours: JAX (TPU when available)
+# ---------------------------------------------------------------------------
+
+def bench_jax():
+    import jax
+    import jax.numpy as jnp
+    from dominantsparseeigenad_tpu import dominant_eigh
+    from dominantsparseeigenad_tpu.models import tfim_operator
+
+    dtype = jnp.float32
+
+    def observables(g):
+        def ground(g):
+            op = tfim_operator(N_SPINS, g, dtype=dtype)
+            return dominant_eigh(op, k=K_LANCZOS, extreme="min",
+                                 tol=CG_TOL, maxiter=CG_MAXITER)
+
+        # One jvp: dE0/dg and dpsi/dg (one forward + one deflated CG).
+        (lam, v), (dlam, dv) = jax.jvp(
+            ground, (g,), (jnp.ones((), dtype),))
+        chi = jnp.vdot(dv, dv)
+        return lam, dlam, chi
+
+    f = jax.jit(observables)
+    g = jnp.asarray(G, dtype)
+    out = f(g)
+    jax.block_until_ready(out)  # warmup/compile
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = f(g)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    lam, dlam, chi = (float(x) for x in out)
+    return min(times), lam, dlam, chi
+
+
+# ---------------------------------------------------------------------------
+# Baseline: the reference's algorithm in eager torch on CPU
+# ---------------------------------------------------------------------------
+
+def bench_torch():
+    import torch
+
+    torch.manual_seed(0)
+    dtype = torch.float32
+    n = N_SPINS
+    dim = 1 << n
+
+    idx = torch.arange(dim, dtype=torch.int64)
+    n_anti = torch.zeros(dim, dtype=dtype)
+    for i in range(n):
+        bi = (idx >> i) & 1
+        bj = (idx >> ((i + 1) % n)) & 1
+        n_anti += (bi ^ bj).to(dtype)
+    diag = 2.0 * n_anti - n
+
+    def matvec(g, x):
+        y = diag * x
+        for i in range(n):
+            xr = x.reshape(1 << (n - 1 - i), 2, 1 << i)
+            y = y - g * torch.flip(xr, dims=(1,)).reshape(-1)
+        return y
+
+    def dh_dg_matvec(x):  # (dH/dg) x = -sum_i flip_i x
+        y = torch.zeros_like(x)
+        for i in range(n):
+            xr = x.reshape(1 << (n - 1 - i), 2, 1 << i)
+            y = y - torch.flip(xr, dims=(1,)).reshape(-1)
+        return y
+
+    def lanczos(g, k):
+        # k-step Lanczos with full reorthogonalization (reference
+        # Lanczos.py: symeigLanczos sparse path).
+        q = torch.randn(dim, dtype=dtype)
+        q = q / q.norm()
+        basis = torch.zeros(dim, k, dtype=dtype)
+        basis[:, 0] = q
+        alphas = torch.zeros(k, dtype=dtype)
+        betas = torch.zeros(k - 1, dtype=dtype)
+        q_prev = torch.zeros(dim, dtype=dtype)
+        beta_prev = 0.0
+        for i in range(k):
+            w = matvec(g, q)
+            alphas[i] = torch.dot(q, w)
+            w = w - alphas[i] * q - beta_prev * q_prev
+            w = w - basis @ (basis.t() @ w)
+            w = w - basis @ (basis.t() @ w)
+            beta = w.norm()
+            if i < k - 1:
+                betas[i] = beta
+                q_prev = q
+                q = w / beta
+                basis[:, i + 1] = q
+                beta_prev = beta
+        t = torch.diag(alphas)
+        t += torch.diag(betas, 1) + torch.diag(betas, -1)
+        evals, evecs = torch.linalg.eigh(t)
+        lam = evals[0]
+        v = basis @ evecs[:, 0]
+        return lam, v / v.norm()
+
+    def deflated_cg(g, lam, v, b):
+        # CG on (1-vv^T)(H-lam)(1-vv^T) x = b  (reference CG.py).
+        def amv(x):
+            px = x - v * torch.dot(v, x)
+            y = matvec(g, px) - lam * px
+            return y - v * torch.dot(v, y)
+
+        x = torch.zeros_like(b)
+        r = b - amv(x)
+        p = r.clone()
+        rs = torch.dot(r, r)
+        target = CG_TOL * CG_TOL * torch.dot(b, b)
+        for _ in range(CG_MAXITER):
+            ap = amv(p)
+            alpha = rs / torch.dot(p, ap)
+            x = x + alpha * p
+            r = r - alpha * ap
+            rs_new = torch.dot(r, r)
+            if rs_new < target:
+                break
+            p = r + (rs_new / rs) * p
+            rs = rs_new
+        return x
+
+    def observables(g):
+        lam, v = lanczos(g, K_LANCZOS)
+        hv = dh_dg_matvec(v)
+        dlam = torch.dot(v, hv)            # Hellmann-Feynman
+        rhs = -(hv - dlam * v)             # -(1-vv^T) dH/dg v
+        dv = deflated_cg(g, lam, v, rhs)   # IFT tangent of the state
+        chi = torch.dot(dv, dv)
+        return lam, dlam, chi
+
+    g = torch.tensor(G, dtype=dtype)
+    out = observables(g)  # warmup (allocator, thread pools)
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = observables(g)
+        times.append(time.perf_counter() - t0)
+    lam, dlam, chi = (float(x) for x in out)
+    return min(times), lam, dlam, chi
+
+
+# ---------------------------------------------------------------------------
+
+def exact_reference():
+    import numpy as np
+    m = np.arange(N_SPINS)
+    k = (2 * m + 1) * np.pi / N_SPINS
+
+    def e0(g):
+        return -np.sum(np.sqrt(1.0 + g * g - 2.0 * g * np.cos(k)))
+
+    eps = 1e-6
+    de0 = (e0(G + eps) - e0(G - eps)) / (2 * eps)
+    return e0(G), de0
+
+
+def main():
+    e0_exact, de0_exact = exact_reference()
+
+    t_ours, lam, dlam, chi = bench_jax()
+    rel = abs(lam - e0_exact) / abs(e0_exact)
+    drel = abs(dlam - de0_exact) / abs(de0_exact)
+    assert rel < 1e-4, f"E0 off: {lam} vs {e0_exact} (rel {rel:.2e})"
+    assert drel < 1e-3, f"dE0 off: {dlam} vs {de0_exact} (rel {drel:.2e})"
+
+    try:
+        t_ref, lam_t, dlam_t, chi_t = bench_torch()
+        assert abs(lam_t - e0_exact) / abs(e0_exact) < 1e-4
+        vs = t_ref / t_ours
+        print(f"# ours {t_ours:.3f}s  torch-ref {t_ref:.3f}s  "
+              f"E0 {lam:.4f} dE0 {dlam:.4f} chi {chi:.4f} "
+              f"(chi_ref {chi_t:.4f})", file=sys.stderr)
+    except Exception as exc:  # torch missing/broken: still report ours
+        print(f"# torch baseline failed: {exc}", file=sys.stderr)
+        vs = float("nan")
+
+    print(json.dumps({
+        "metric": "tfim_n20_eigenpair_grad_chi_time",
+        "value": round(t_ours, 4),
+        "unit": "s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,10 @@ from .ops import (
     EighOptions,
     dominant_eig,
     EigOptions,
+    COOOperator,
+    BellOperator,
+    random_bell_operator,
+    bell_spmv,
 )
 
 __version__ = "0.1.0"

@@ -47,26 +47,69 @@ def tfim_zz_diagonal(n: int, dtype=jnp.float64) -> jax.Array:
     """Diagonal of -sum_i sz_i sz_{i+1} (PBC) over the 2^n basis.
 
     Bit arithmetic: basis state j has spin s_i = 1 - 2*bit_i(j); each
-    anti-aligned neighbor pair contributes +1, aligned -1.
+    anti-aligned neighbor pair contributes +1, aligned -1.  Accumulated
+    bond-by-bond (n fused passes over the 2^n vector) so no (2^n, n)
+    intermediate ever materializes — XLA fuses the whole thing into one
+    elementwise kernel.
     """
     dim = 1 << n
     idx = jnp.arange(dim, dtype=jnp.uint32)
-    bits = (idx[:, None] >> jnp.arange(n, dtype=jnp.uint32)[None, :]) & 1
-    anti = bits ^ jnp.roll(bits, -1, axis=1)  # 1 where neighbors differ
-    n_anti = jnp.sum(anti, axis=1).astype(dtype)
+    n_anti = jnp.zeros(dim, dtype=dtype)
+    for i in range(n):
+        bi = (idx >> i) & 1
+        bj = (idx >> ((i + 1) % n)) & 1
+        n_anti = n_anti + (bi ^ bj).astype(dtype)
     # -sum sz sz = -( (n - n_anti) - n_anti ) = 2*n_anti - n
     return 2.0 * n_anti - n
+
+
+def _bit_groups(n: int, max_bits: int = 7) -> list[int]:
+    """Split n qubits into contiguous bit groups of <= max_bits (LSB first)."""
+    groups = []
+    r = n
+    while r > 0:
+        s = min(max_bits, r)
+        groups.append(s)
+        r -= s
+    return groups
+
+
+def _cube_adjacency(m: int, dtype) -> jax.Array:
+    """(2^m, 2^m) hypercube adjacency: 1 where indices differ in one bit."""
+    idx = np.arange(1 << m)
+    x = idx[:, None] ^ idx[None, :]
+    adj = (x != 0) & ((x & (x - 1)) == 0)
+    return jnp.asarray(adj, dtype=dtype)
+
+
+def flip_sum(x: jax.Array, n: int) -> jax.Array:
+    """sum_i flip_i(x) — apply every single-spin flip and sum.
+
+    TPU-native formulation: per-bit ``jnp.flip`` calls have tiny inner
+    strides for the low bits (hostile to HBM/VMEM tiling), so instead the
+    n bits are split into <=7-bit groups and each group's flip-sum is one
+    contraction with a (2^m, 2^m) hypercube-adjacency matrix — i.e. the
+    whole transverse-field term sum_i sigma^x_i becomes ~n/7 small MXU
+    matmuls over the reshaped state tensor instead of ~n strided
+    reverse-copies.  Exact (not an approximation): sigma^x on site i only
+    touches bit i, so grouping is a free tensorization.
+    """
+    groups = _bit_groups(n)
+    shape = tuple(1 << s for s in reversed(groups))
+    x3 = x.reshape(shape)
+    out = jnp.zeros_like(x3)
+    for axis, s in enumerate(reversed(groups)):
+        adj = _cube_adjacency(s, x.dtype)
+        y = jnp.tensordot(adj, x3, axes=[[1], [axis]])
+        out = out + jnp.moveaxis(y, 0, axis)
+    return out.reshape(-1)
 
 
 def tfim_matvec(params, x: jax.Array) -> jax.Array:
     """y = H(g) x, matrix-free.  params = (g, zz_diagonal)."""
     g, diag = params
     n = diag.shape[0].bit_length() - 1
-    y = diag.astype(x.dtype) * x
-    for i in range(n):
-        xr = x.reshape(1 << (n - 1 - i), 2, 1 << i)
-        y = y - g * jnp.flip(xr, axis=1).reshape(-1)
-    return y
+    return diag.astype(x.dtype) * x - g * flip_sum(x, n)
 
 
 def tfim_operator(n: int, g, dtype=jnp.float64) -> MatrixFreeOperator:
@@ -97,6 +140,64 @@ def tfim_dense_hamiltonian(n: int, g, dtype=jnp.float64) -> jax.Array:
             full = np.kron(full, o)
         h = h - g * jnp.asarray(full, dtype=dtype)
     return h
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip) matrix-free Hamiltonian
+# ---------------------------------------------------------------------------
+
+def tfim_sharded_operator(n: int, g, mesh, *, dtype=jnp.float64,
+                          axis: str = None):
+    """TFIM Hamiltonian as a row-sharded matrix-free operator on a mesh.
+
+    The 2^n-dimensional state vector is block-partitioned over ``p = 2^d``
+    devices along mesh axis ``axis``; a shard holds the amplitudes whose
+    top ``d`` basis bits equal its shard index.  Inside the ``shard_map``
+    matvec:
+
+    * the zz diagonal term and the ``n - d`` low-bit spin flips are purely
+      local (``jnp.flip`` on one axis of the reshaped local block);
+    * each of the ``d`` high-bit spin flips exchanges *whole shards*
+      between XOR-partner devices with a single ``lax.ppermute`` over ICI
+      — the hypercube-exchange analogue of ring attention for Hilbert-
+      space sharding (SURVEY.md §2.5 / §5).
+
+    The reference has no distributed path at all; this is the north-star
+    scaling component layered on the same eigensolver math.  Gradients in
+    ``g`` flow through ``shard_map`` + ``ppermute`` transparently.
+    """
+    from ..parallel.mesh import SHARD_AXIS
+    from ..parallel.sharded import ShardedMatrixFreeOperator
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import lax
+
+    if axis is None:
+        axis = SHARD_AXIS
+    p = mesh.shape[axis]
+    d = p.bit_length() - 1
+    if (1 << d) != p:
+        raise ValueError(f"shard count {p} must be a power of two")
+    if d > n:
+        raise ValueError(f"cannot split 2^{n} states over 2^{d} shards")
+    m = n - d  # local qubits
+
+    g = jnp.asarray(g, dtype=dtype)
+    diag = jax.device_put(tfim_zz_diagonal(n, dtype=dtype),
+                          NamedSharding(mesh, P(axis)))
+
+    def local_matvec(params, x_local):
+        gg, diag_local = params
+        y = diag_local.astype(x_local.dtype) * x_local
+        # Local spin flips (low m bits): cube-adjacency contractions.
+        flips = flip_sum(x_local, m) if m > 0 else jnp.zeros_like(x_local)
+        for b in range(d):  # high-bit flips: XOR-partner shard exchange
+            perm = [(s, s ^ (1 << b)) for s in range(p)]
+            flips = flips + lax.ppermute(x_local, axis, perm)
+        return y - gg * flips
+
+    return ShardedMatrixFreeOperator(
+        local_matvec, (g, diag), dim=1 << n, mesh=mesh, dtype=dtype,
+        axis=axis, param_specs=(P(), P(axis)))
 
 
 # ---------------------------------------------------------------------------
@@ -174,11 +275,7 @@ def tfim_ed_observables(n: int, g, dtype=jnp.float64):
     evals, evecs = jnp.linalg.eigh(h)
     v0 = evecs[:, 0]
     # dH/dg |0> = -sum_i sx_i |0>
-    dim = 1 << n
-    dh_v0 = jnp.zeros(dim, dtype=dtype)
-    for i in range(n):
-        vr = v0.reshape(1 << (n - 1 - i), 2, 1 << i)
-        dh_v0 = dh_v0 - jnp.flip(vr, axis=1).reshape(-1)
+    dh_v0 = -flip_sum(v0, n)
     de = jnp.vdot(v0, dh_v0)
     me = evecs[:, 1:].T @ dh_v0
     gaps = evals[0] - evals[1:]

@@ -11,6 +11,8 @@ from .lanczos import lanczos, lanczos_eigh, power_iteration, LanczosResult
 from .cg import cg, solve_spd, solve_deflated, solve_general
 from .eigh import dominant_eigh, EighOptions
 from .eig import dominant_eig, EigOptions
+from .sparse import COOOperator, BellOperator, random_bell_operator
+from .pallas_spmv import bell_spmv
 
 __all__ = [
     "LinearOperator", "DenseOperator", "MatrixFreeOperator",
@@ -19,4 +21,5 @@ __all__ = [
     "lanczos", "lanczos_eigh", "power_iteration", "LanczosResult",
     "cg", "solve_spd", "solve_deflated", "solve_general",
     "dominant_eigh", "EighOptions", "dominant_eig", "EigOptions",
+    "COOOperator", "BellOperator", "random_bell_operator", "bell_spmv",
 ]

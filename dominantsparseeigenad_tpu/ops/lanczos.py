@@ -77,53 +77,65 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
     if k < 1:
         raise ValueError("k must be >= 1")
 
-    # Restart vectors: one per step, generated once outside the scan so the
-    # loop body stays shape-static.  restarts[0] doubles as the default v0.
-    restarts = jax.random.normal(key, (k, n), dtype=dtype)
-    q0 = restarts[0] if v0 is None else jnp.asarray(v0, dtype=dtype)
+    # Start vector.  NOTE compile-time trap: anything computed from a
+    # compile-time-constant PRNG key gets constant-folded by XLA — a
+    # pregenerated (k, N) restart block would bloat the executable with an
+    # O(k*N) literal and make compile time scale with the Hilbert-space
+    # dimension.  So only the (N,) start vector is generated eagerly, and
+    # breakdown restart vectors are generated lazily inside a `lax.cond`
+    # (paid only when a breakdown actually occurs at runtime).
+    q0 = (jax.random.normal(key, (n,), dtype=dtype) if v0 is None
+          else jnp.asarray(v0, dtype=dtype))
     q0 = q0 / jnp.linalg.norm(q0)
 
-    basis0 = jnp.zeros((n, k), dtype=dtype).at[:, 0].set(q0)
+    # Basis is carried as (k+1, N) — row-major, so writing vector i+1 is a
+    # contiguous in-place dynamic-update-slice of one row (an (N, k) layout
+    # would make every step's column write a strided pass over the whole
+    # basis buffer).  Row k is a scratch slot for the final step's q_next
+    # and is dropped on return.
+    basis0 = jnp.zeros((k + 1, n), dtype=dtype).at[0].set(q0)
 
-    def step(carry, inputs):
+    def step(carry, i):
         basis, q, q_prev, beta_prev = carry
-        i, restart = inputs
 
         w = op.matvec(q)
         alpha = jnp.vdot(q, w)
         w = w - alpha * q - beta_prev * q_prev
         if reorthogonalize:
-            # Unwritten columns of `basis` are zero, so a single masked
-            # projection against the full (N, k) block is exact — two
+            # Unwritten rows of `basis` are zero, so a single masked
+            # projection against the full (k+1, N) block is exact — two
             # MXU matmuls instead of a python loop over vectors.
-            w = w - basis @ (basis.T @ w)
-            w = w - basis @ (basis.T @ w)  # twice is enough (Kahan)
+            w = w - basis.T @ (basis @ w)
+            w = w - basis.T @ (basis @ w)  # twice is enough (Kahan)
         beta = jnp.linalg.norm(w)
 
         # Breakdown: restart with a fresh vector orthogonal to the basis.
         scale = jnp.sqrt(jnp.abs(alpha) ** 2 + beta_prev ** 2) + 1.0
         broke = beta <= _BREAKDOWN_REL_TOL * scale
-        r = restart - basis @ (basis.T @ restart)
-        r = r / (jnp.linalg.norm(r) + jnp.finfo(dtype).tiny)
-        q_next = jnp.where(broke, r, w / jnp.where(broke, 1.0, beta))
+
+        def restart(_):
+            r = jax.random.normal(jax.random.fold_in(key, i), (n,),
+                                  dtype=dtype)
+            r = r - basis.T @ (basis @ r)
+            return r / (jnp.linalg.norm(r) + jnp.finfo(dtype).tiny)
+
+        def advance(_):
+            return w / jnp.where(broke, 1.0, beta)
+
+        q_next = lax.cond(broke, restart, advance, None)
         beta_out = jnp.where(broke, jnp.zeros_like(beta), beta)
 
-        last = i >= k - 1
-        basis = lax.cond(
-            last,
-            lambda b: b,
-            lambda b: b.at[:, i + 1].set(q_next),
-            basis,
-        )
+        basis = basis.at[i + 1].set(q_next)
         return (basis, q_next, q, beta_out), (alpha, beta_out)
 
     (basis, _, _, _), (alphas, betas) = lax.scan(
         step,
         (basis0, q0, jnp.zeros_like(q0), jnp.zeros((), dtype=dtype)),
-        (jnp.arange(k), restarts),
+        jnp.arange(k),
     )
     return LanczosResult(alphas=alphas, betas=betas[:-1] if k > 1
-                         else jnp.zeros((0,), dtype=dtype), basis=basis)
+                         else jnp.zeros((0,), dtype=dtype),
+                         basis=basis[:k].T)
 
 
 def lanczos_eigh(op, k: int, *, extreme: str = "both",

@@ -1,0 +1,254 @@
+"""Sparse operators: COO (XLA fallback) and blocked-ELL (Pallas TPU kernel).
+
+The reference has no sparse-matrix storage at all — its "sparse" path is a
+matvec closure (reference ``Lanczos.py`` ``sparse=True`` +
+``setDominantSparseSymeig``).  Explicit sparse formats are a north-star
+addition (SURVEY.md §2.4): the SpMV inside the Krylov loop is the hot op
+the BASELINE "nnz/s/chip" metric measures, so it gets a native-tier Pallas
+kernel, with a pure-XLA path as fallback/oracle.
+
+Formats
+-------
+* :class:`COOOperator` — (rows, cols, vals) triplets; matvec is a
+  ``segment_sum`` gather/scatter — compiles everywhere, the correctness
+  oracle and CPU path.
+* :class:`BellOperator` — **blocked ELLPACK**, the TPU-native layout:
+  the matrix is tiled into (bs, bs) blocks; each block-row stores a fixed
+  number of blocks (padded with zero blocks, index 0) —
+
+      vals : (n_br, max_blk, bs, bs)   dense block data
+      cols : (n_br, max_blk) int32     block-column indices (0 for pads)
+
+  Static shapes, dense (bs, bs) tiles: every block lands on the MXU, and
+  the Pallas kernel streams block-rows through VMEM.  Irregular scalar
+  sparsity (CSR-style) is hostile to the TPU's tiling model — blocks with
+  padding are the realistic fast path (SURVEY.md §7 hard part 4).
+
+Both are :class:`LinearOperator` pytrees, so they drop into
+``dominant_eigh`` / ``dominant_eig`` / distributed wrappers unchanged, and
+their values are differentiable leaves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .operators import LinearOperator
+
+
+# ---------------------------------------------------------------------------
+# COO — XLA fallback / oracle
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class COOOperator(LinearOperator):
+    """COO sparse operator; matvec via gather + segment_sum (pure XLA)."""
+
+    rows: jax.Array  # (nnz,) int32
+    cols: jax.Array  # (nnz,) int32
+    vals: jax.Array  # (nnz,)
+    n: int
+
+    def matvec(self, x):
+        return jax.ops.segment_sum(self.vals * x[self.cols], self.rows,
+                                   num_segments=self.n)
+
+    def rmatvec(self, x):
+        return jax.ops.segment_sum(self.vals * x[self.rows], self.cols,
+                                   num_segments=self.n)
+
+    @property
+    def dim(self):
+        return self.n
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def nnz(self):
+        return self.vals.shape[0]
+
+    def to_dense(self):
+        return jnp.zeros((self.n, self.n), self.dtype).at[
+            self.rows, self.cols].add(self.vals)
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.vals), self.n
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
+
+    @classmethod
+    def from_dense(cls, a, *, tol: float = 0.0):
+        a = np.asarray(a)
+        rows, cols = np.nonzero(np.abs(a) > tol)
+        return cls(jnp.asarray(rows, jnp.int32),
+                   jnp.asarray(cols, jnp.int32),
+                   jnp.asarray(a[rows, cols]), a.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Blocked-ELL — the TPU-native format
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class BellOperator(LinearOperator):
+    """Blocked-ELLPACK sparse operator with a Pallas TPU SpMV kernel.
+
+    ``vals[i, j]`` is the dense (bs, bs) block at block-row ``i``,
+    block-column ``cols[i, j]``; slots past a row's real block count are
+    zero blocks pointing at column 0 (always safe to multiply).
+
+    ``use_pallas=None`` auto-selects: Pallas on TPU backends, XLA einsum
+    elsewhere (the two paths are numerically identical up to f32 summation
+    order and are cross-checked in the tests).
+    """
+
+    def __init__(self, vals, cols, n: int, *, symmetric: bool = False,
+                 use_pallas: bool | None = None, interpret: bool = False):
+        self.vals = vals          # (n_br, max_blk, bs, bs)
+        self.cols = cols          # (n_br, max_blk) int32
+        self.n = int(n)
+        self.symmetric = bool(symmetric)
+        self.use_pallas = use_pallas
+        self.interpret = bool(interpret)
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_dense(cls, a, bs: int = 128, *, tol: float = 0.0,
+                   symmetric: bool = False, use_pallas=None,
+                   interpret: bool = False):
+        a = np.asarray(a)
+        n = a.shape[0]
+        if n % bs:
+            raise ValueError(f"dim {n} not divisible by block size {bs}")
+        nb = n // bs
+        blocks = a.reshape(nb, bs, nb, bs).transpose(0, 2, 1, 3)
+        keep = np.abs(blocks).max(axis=(2, 3)) > tol       # (nb, nb)
+        max_blk = max(int(keep.sum(axis=1).max()), 1)
+        vals = np.zeros((nb, max_blk, bs, bs), a.dtype)
+        cols = np.zeros((nb, max_blk), np.int32)
+        for i in range(nb):
+            js = np.nonzero(keep[i])[0]
+            vals[i, : len(js)] = blocks[i, js]
+            cols[i, : len(js)] = js
+        return cls(jnp.asarray(vals), jnp.asarray(cols), n,
+                   symmetric=symmetric, use_pallas=use_pallas,
+                   interpret=interpret)
+
+    # -- matvec paths ---------------------------------------------------------
+
+    def _xla_matvec(self, x):
+        nb, max_blk, bs, _ = self.vals.shape
+        xb = x.reshape(nb, bs)
+        gathered = xb[self.cols]                      # (nb, max_blk, bs)
+        y = jnp.einsum("ijab,ijb->ia", self.vals, gathered,
+                       preferred_element_type=x.dtype)
+        return y.reshape(-1)
+
+    def _pallas_matvec(self, x):
+        from .pallas_spmv import bell_spmv
+        return bell_spmv(self.vals, self.cols, x,
+                         interpret=self.interpret)
+
+    def matvec(self, x):
+        use = self.use_pallas
+        if use is None:
+            use = jax.default_backend() == "tpu"
+        return self._pallas_matvec(x) if use else self._xla_matvec(x)
+
+    def rmatvec(self, x):
+        if self.symmetric:
+            return self.matvec(x)
+        # A^T x: scatter-transpose via the XLA path (Pallas transpose
+        # kernel is future work; rmatvec is off the hot Lanczos loop).
+        nb, max_blk, bs, _ = self.vals.shape
+        xb = x.reshape(nb, bs)
+        contrib = jnp.einsum("ijab,ia->ijb", self.vals, xb,
+                             preferred_element_type=x.dtype)
+        y = jnp.zeros((nb, bs), x.dtype).at[self.cols].add(contrib)
+        return y.reshape(-1)
+
+    # -- misc ----------------------------------------------------------------
+
+    @property
+    def dim(self):
+        return self.n
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def block_size(self):
+        return self.vals.shape[-1]
+
+    @property
+    def nnz(self):
+        """Stored entries (incl. explicit zeros in padded blocks)."""
+        return int(np.prod(self.vals.shape))
+
+    def tree_flatten(self):
+        aux = (self.n, self.symmetric, self.use_pallas, self.interpret)
+        return (self.vals, self.cols), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        n, symmetric, use_pallas, interpret = aux
+        return cls(*children, n, symmetric=symmetric,
+                   use_pallas=use_pallas, interpret=interpret)
+
+
+def random_bell_operator(key, n: int, bs: int, blocks_per_row: int, *,
+                         dtype=jnp.float32, use_pallas=None,
+                         interpret: bool = False) -> BellOperator:
+    """Synthetic symmetric block-banded BELL operator (BASELINE config #5).
+
+    Block-circulant band structure: the diagonal block plus pairs of bands
+    at offsets ±o.  Symmetry is built in exactly — the diagonal block is
+    symmetrized, and the block at (i, i-o) is the transpose of the block
+    stored at (i-o, i) — so Lanczos sees a genuinely symmetric operator.
+    ``blocks_per_row`` must be odd (diagonal + pairs).
+    """
+    if blocks_per_row % 2 == 0:
+        raise ValueError("blocks_per_row must be odd (diag + ± band pairs)")
+    nb = n // bs
+    if nb * bs != n:
+        raise ValueError(f"dim {n} not divisible by block size {bs}")
+    n_off = (blocks_per_row - 1) // 2
+    rng = np.random.default_rng(7)
+    offs = (rng.permutation(np.arange(1, nb))[:n_off]
+            if nb > 1 else np.zeros(0, np.int64))
+    n_off = len(offs)
+
+    kd, kb = jax.random.split(key)
+    scale = 1.0 / np.sqrt((1 + 2 * n_off) * bs)
+    diag = jax.random.normal(kd, (nb, bs, bs), dtype) * scale
+    diag = (diag + jnp.swapaxes(diag, -1, -2)) / 2
+    bands = jax.random.normal(kb, (n_off, nb, bs, bs), dtype) * scale
+
+    i = np.arange(nb)
+    slots = [diag[:, None]]          # (nb, 1, bs, bs) at col i
+    cols = [i[:, None]]
+    for o_idx, o in enumerate(offs):
+        # +o band: block B_i at (i, (i+o) % nb)
+        slots.append(bands[o_idx][:, None])
+        cols.append(((i + o) % nb)[:, None])
+        # -o band: block at (i, (i-o) % nb) = B_{(i-o) % nb}^T
+        src = (i - o) % nb
+        slots.append(jnp.swapaxes(bands[o_idx][src], -1, -2)[:, None])
+        cols.append(src[:, None])
+    vals = jnp.concatenate(slots, axis=1)
+    cols = jnp.asarray(np.concatenate(cols, axis=1), jnp.int32)
+    return BellOperator(vals, cols, n, symmetric=True,
+                        use_pallas=use_pallas, interpret=interpret)

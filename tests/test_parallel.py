@@ -1,0 +1,103 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (conftest.py forces
+``--xla_force_host_platform_device_count=8``) — sharded operators must agree
+with their single-device counterparts in values AND gradients.
+
+The reference has no distributed code to compare against (SURVEY.md §2.5);
+the oracle is this framework's own single-device path, which is itself
+validated against dense eigh / analytic TFIM results elsewhere.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dominantsparseeigenad_tpu import DenseOperator, dominant_eigh
+from dominantsparseeigenad_tpu.parallel import (
+    RowShardedOperator, make_mesh, shard_vector)
+from dominantsparseeigenad_tpu.models import (
+    tfim_operator, tfim_sharded_operator, tfim_exact_e0)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()  # (1, 8): all devices on the "shards" axis
+
+
+def _random_sym(n, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n))
+    return jnp.asarray((a + a.T) / 2)
+
+
+@pytest.mark.parametrize("mode", ["all_gather", "ring"])
+def test_row_sharded_matvec_matches_dense(mesh, mode):
+    n = 64
+    a = _random_sym(n)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(n))
+    op = RowShardedOperator(a, mesh, mode=mode)
+    xs = shard_vector(x, mesh)
+    np.testing.assert_allclose(op.matvec(xs), a @ x, rtol=1e-12)
+    np.testing.assert_allclose(op.rmatvec(xs), a.T @ x, rtol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["all_gather", "ring"])
+def test_row_sharded_eigh_and_grad(mesh, mode):
+    """Sharded dominant eigenpair + gradient == dense-path result."""
+    n = 64
+    a = _random_sym(n)
+
+    def loss_dense(a):
+        lam, v = dominant_eigh(DenseOperator(a), k=n, extreme="min")
+        return lam + jnp.sum(v ** 4)
+
+    def loss_sharded(a):
+        op = RowShardedOperator(a, mesh, mode=mode)
+        lam, v = dominant_eigh(op, k=n, extreme="min")
+        return lam + jnp.sum(v ** 4)
+
+    v0, g0 = jax.value_and_grad(loss_dense)(a)
+    v1, g1 = jax.value_and_grad(loss_sharded)(a)
+    np.testing.assert_allclose(v1, v0, rtol=1e-9)
+    np.testing.assert_allclose(g1, g0, rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_tfim_matvec_matches_local(mesh):
+    n, g = 6, 0.7
+    op_local = tfim_operator(n, g)
+    op_shard = tfim_sharded_operator(n, g, mesh)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(1 << n))
+    y_local = op_local.matvec(x)
+    y_shard = op_shard.matvec(shard_vector(x, mesh))
+    np.testing.assert_allclose(y_shard, y_local, rtol=1e-12)
+
+
+def test_sharded_tfim_energy_and_derivatives(mesh):
+    """E0 and dE0/dg through the sharded eigensolver vs Jordan-Wigner."""
+    n, g = 8, 0.9
+
+    def e0(g):
+        op = tfim_sharded_operator(n, g, mesh)
+        lam, _ = dominant_eigh(op, k=60, extreme="min")
+        return lam
+
+    val, grad = jax.value_and_grad(e0)(jnp.float64(g))
+    exact_val, exact_grad = jax.value_and_grad(
+        lambda gg: tfim_exact_e0(n, gg))(jnp.float64(g))
+    np.testing.assert_allclose(val, exact_val, rtol=1e-9)
+    np.testing.assert_allclose(grad, exact_grad, rtol=1e-7)
+
+
+def test_sharded_tfim_second_derivative(mesh):
+    """d2E0/dg2 — double differentiation through shard_map + ppermute."""
+    n, g = 6, 1.2
+
+    def e0(g):
+        op = tfim_sharded_operator(n, g, mesh)
+        lam, _ = dominant_eigh(op, k=1 << n, extreme="min")
+        return lam
+
+    d2 = jax.grad(jax.grad(e0))(jnp.float64(g))
+    d2_exact = jax.grad(jax.grad(
+        lambda gg: tfim_exact_e0(n, gg)))(jnp.float64(g))
+    np.testing.assert_allclose(d2, d2_exact, rtol=1e-6)

@@ -1,0 +1,147 @@
+"""Sparse operator tests: COO and blocked-ELL (+ Pallas kernel in
+interpret mode on CPU) against dense oracles, through the eigensolver, and
+through first/second derivatives.
+
+The reference has no sparse formats (its sparse path is a closure); the
+parity target is this framework's own dense path (SURVEY.md §2.4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dominantsparseeigenad_tpu import (
+    BellOperator, COOOperator, DenseOperator, dominant_eigh,
+    random_bell_operator)
+from dominantsparseeigenad_tpu.ops.pallas_spmv import bell_spmv
+
+
+def _random_sparse_sym(n, density=0.1, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)) * (rng.random((n, n)) < density)
+    return (a + a.T) / 2
+
+
+def test_coo_matvec_and_eigh():
+    n = 96
+    a = _random_sparse_sym(n)
+    op = COOOperator.from_dense(a)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(n))
+    np.testing.assert_allclose(op.matvec(x), a @ x, rtol=1e-12)
+    np.testing.assert_allclose(op.rmatvec(x), a.T @ x, rtol=1e-12)
+    np.testing.assert_allclose(op.to_dense(), a, rtol=1e-12)
+
+    lam, v = dominant_eigh(op, k=n, extreme="min")
+    lam_d, _ = dominant_eigh(DenseOperator(jnp.asarray(a)), k=n,
+                             extreme="min")
+    np.testing.assert_allclose(lam, lam_d, rtol=1e-10)
+
+
+def test_coo_gradients_match_dense():
+    n = 64
+    a = _random_sparse_sym(n)
+    op = COOOperator.from_dense(a)
+
+    def loss_coo(vals):
+        o = COOOperator(op.rows, op.cols, vals, n)
+        lam, v = dominant_eigh(o, k=n, extreme="min")
+        return lam + jnp.sum(v ** 4)
+
+    def loss_dense(a):
+        lam, v = dominant_eigh(DenseOperator(a), k=n, extreme="min")
+        return lam + jnp.sum(v ** 4)
+
+    g_coo = jax.grad(loss_coo)(op.vals)
+    g_dense = jax.grad(loss_dense)(jnp.asarray(a))
+    # dense gradient entries at the sparse positions must match (symmetric
+    # pattern => no symmetrization mismatch).
+    np.testing.assert_allclose(g_coo, g_dense[op.rows, op.cols],
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_bell_from_dense_roundtrip_and_matvec():
+    n, bs = 128, 16
+    a = _random_sparse_sym(n, density=0.05)
+    op = BellOperator.from_dense(a, bs=bs, use_pallas=False)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(n))
+    np.testing.assert_allclose(op.matvec(x), a @ x, rtol=1e-10)
+    np.testing.assert_allclose(op.rmatvec(x), a.T @ x, rtol=1e-10)
+
+
+def test_bell_pallas_interpret_matches_xla():
+    n, bs = 256, 32
+    a = _random_sparse_sym(n, density=0.08, seed=3)
+    op = BellOperator.from_dense(a, bs=bs)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal(n).astype(np.float32))
+    y_xla = op._xla_matvec(x)
+    y_pal = bell_spmv(op.vals.astype(jnp.float32), op.cols, x,
+                      True)  # interpret=True on CPU
+    np.testing.assert_allclose(y_pal, y_xla, rtol=1e-5, atol=1e-5)
+
+
+def test_bell_spmv_derivatives():
+    """bell_spmv custom_jvp: forward/reverse/second-order vs einsum."""
+    n, bs = 64, 8
+    a = _random_sparse_sym(n, density=0.2, seed=4)
+    op = BellOperator.from_dense(a, bs=bs)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal(n))
+
+    def f(vals, x):
+        return jnp.sum(bell_spmv(vals, op.cols, x, True) ** 2)
+
+    def f_ref(vals, x):
+        xb = x.reshape(-1, bs)
+        y = jnp.einsum("ijab,ijb->ia", vals, xb[op.cols]).reshape(-1)
+        return jnp.sum(y ** 2)
+
+    gv, gx = jax.grad(f, argnums=(0, 1))(op.vals, x)
+    gv_r, gx_r = jax.grad(f_ref, argnums=(0, 1))(op.vals, x)
+    np.testing.assert_allclose(gv, gv_r, rtol=1e-9)
+    np.testing.assert_allclose(gx, gx_r, rtol=1e-9)
+
+    # Second order: grad of a gradient contraction (scalar).
+    h = jax.grad(lambda xx: jnp.vdot(
+        jax.grad(f, argnums=1)(op.vals, xx), xx))(x)
+    h_r = jax.grad(lambda xx: jnp.vdot(
+        jax.grad(f_ref, argnums=1)(op.vals, xx), xx))(x)
+    np.testing.assert_allclose(h, h_r, rtol=1e-9)
+
+
+def test_random_bell_operator_symmetric():
+    key = jax.random.PRNGKey(0)
+    op = random_bell_operator(key, n=128, bs=16, blocks_per_row=5,
+                              dtype=jnp.float64, use_pallas=False)
+    dense = op.to_dense()
+    np.testing.assert_allclose(dense, dense.T, atol=1e-12)
+
+    lam, v = dominant_eigh(op, k=60, extreme="max")
+    evals = np.linalg.eigvalsh(np.asarray(dense))
+    np.testing.assert_allclose(lam, evals[-1], rtol=1e-8)
+
+
+def test_bell_eigh_gradient():
+    """Gradient through the eigensolver with a BellOperator (XLA path)."""
+    key = jax.random.PRNGKey(1)
+    op = random_bell_operator(key, n=64, bs=8, blocks_per_row=3,
+                              dtype=jnp.float64, use_pallas=False)
+
+    def loss(vals):
+        o = BellOperator(vals, op.cols, op.n, symmetric=True,
+                         use_pallas=False)
+        lam, _ = dominant_eigh(o, k=50, extreme="max")
+        return lam
+
+    g = jax.grad(loss)(op.vals)
+    # Exact check: for a simple eigenvalue, dlam/dA[r, c] = v[r] * v[c],
+    # so the gradient w.r.t. the stored entry (i, j, a, b) is
+    # v[i*bs + a] * v[cols[i, j]*bs + b] with v the true top eigenvector.
+    dense = np.asarray(op.to_dense())
+    evals, evecs = np.linalg.eigh(dense)
+    v = evecs[:, -1]
+    bs = op.block_size
+    nb = op.n // bs
+    vb = v.reshape(nb, bs)
+    expected = np.einsum("ia,ijb->ijab", vb, vb[np.asarray(op.cols)])
+    np.testing.assert_allclose(g, expected, rtol=1e-6, atol=1e-9)
