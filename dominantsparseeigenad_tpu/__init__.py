@@ -34,6 +34,8 @@ from .ops import (
     BellOperator,
     random_bell_operator,
     bell_spmv,
+    eigh_safe,
+    svd_safe,
 )
 
 __version__ = "0.1.0"

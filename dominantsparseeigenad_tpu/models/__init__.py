@@ -1,3 +1,14 @@
+from .ising2d import (
+    ising_vertex_tensor,
+    onsager_free_energy,
+    trg_free_energy,
+    trg_step,
+    ctmrg_environment,
+    ctmrg_free_energy,
+    transfer_operator,
+    transfer_spectral_gap,
+    ising_observables,
+)
 from .tfim import (
     tfim_operator,
     tfim_matvec,
@@ -16,4 +27,7 @@ __all__ = [
     "tfim_dense_hamiltonian", "tfim_sharded_operator", "tfim_exact_e0",
     "tfim_ground_energy", "tfim_ground_state", "fidelity_susceptibility",
     "tfim_ed_observables",
+    "ising_vertex_tensor", "onsager_free_energy", "trg_free_energy",
+    "trg_step", "ctmrg_environment", "ctmrg_free_energy",
+    "transfer_operator", "transfer_spectral_gap", "ising_observables",
 ]

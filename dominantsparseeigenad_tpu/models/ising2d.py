@@ -1,0 +1,250 @@
+"""2D classical Ising model: TRG and CTMRG with differentiable free energy.
+
+Rebuild of the reference's third application (``examples/CTMRG`` / TRG,
+SURVEY.md §2.2 A3; the paper's Fig. 4): contract the square-lattice Ising
+partition function with tensor renormalization, differentiate ``ln Z``
+through the *truncated eigendecompositions* once (energy) and twice
+(specific heat), and validate against Onsager's exact solution.
+
+Differences from the reference by design:
+
+* the degenerate-spectrum hazard of differentiating eigendecompositions
+  (corner spectra carry symmetry multiplets) is handled by
+  :func:`~..ops.decomp.eigh_safe` — Lorentzian-broadened gap inverses —
+  instead of hoping the spectrum stays simple;
+* the renormalization loops are Python-unrolled over a static step count
+  (each step changes tensor shapes, so XLA compiles each once); gradients
+  flow through the whole contraction sequence like the reference's
+  autograd does, but with O(steps · χ²D²) tiny intermediates — cheap;
+* the converged CTMRG environment feeds the framework's *non-symmetric*
+  dominant eigensolver (``dominant_eig``) through the row-to-row transfer
+  operator, mirroring the reference's ``DominantEig`` transfer-matrix use.
+
+Conventions: vertex tensor ``T[u, r, d, l]`` (up, right, down, left); the
+Ising coupling is J = 1, inverse temperature ``beta``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.decomp import eigh_safe, svd_safe
+from ..ops.eig import dominant_eig
+from ..ops.operators import DenseOperator
+
+_EPS = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Vertex tensor and exact (Onsager) oracle
+# ---------------------------------------------------------------------------
+
+def ising_vertex_tensor(beta, dtype=jnp.float64) -> jax.Array:
+    """T[u,r,d,l] = sum_s W[s,u] W[s,r] W[s,d] W[s,l], W = sqrt(bond matrix).
+
+    The bond matrix M[s,s'] = exp(beta * s * s') has eigenpairs
+    (2cosh(beta), [1,1]/sqrt2), (2sinh(beta), [1,-1]/sqrt2); W = M^{1/2}
+    built from them keeps everything differentiable in beta.
+    """
+    beta = jnp.asarray(beta, dtype=dtype)
+    cp = jnp.sqrt(jnp.cosh(beta))
+    sm = jnp.sqrt(jnp.sinh(beta))
+    isq2 = 1.0 / jnp.sqrt(jnp.asarray(2.0, dtype))
+    # W = P diag(sqrt(2cosh), sqrt(2sinh)) P^T with P = [[1,1],[1,-1]]/sqrt2
+    # => W = [[cp+sm, cp-sm], [cp-sm, cp+sm]] / sqrt(2); check W @ W.T = M.
+    w = jnp.stack([
+        jnp.stack([cp + sm, cp - sm]),
+        jnp.stack([cp - sm, cp + sm]),
+    ]) * isq2
+    return jnp.einsum("su,sr,sd,sl->urdl", w, w, w, w)
+
+
+def onsager_free_energy(beta, n_quad: int = 64):
+    """Exact thermodynamic-limit ln Z per site via Onsager's double integral,
+
+        lnZ/N = ln(2) + (1/(8 pi^2)) ∮∮ ln[cosh^2(2b)
+                 - sinh(2b)(cos t1 + cos t2)] dt1 dt2
+
+    (sanity anchors: beta -> 0 gives ln 2; at beta_c the value is
+    ln(2)/2 + 2G/pi ≈ 0.9296953, G = Catalan).  Evaluated with
+    Gauss-Legendre quadrature in jnp, so it is itself differentiable —
+    supplying exact energy and specific-heat oracles too.
+    """
+    beta = jnp.asarray(beta)
+    x, wq = np.polynomial.legendre.leggauss(n_quad)
+    t = jnp.asarray((x + 1.0) * np.pi)          # [0, 2pi]
+    wq = jnp.asarray(wq * np.pi)
+    c2 = jnp.cosh(2 * beta) ** 2
+    s2 = jnp.sinh(2 * beta)
+    integrand = jnp.log(c2 - s2 * (jnp.cos(t)[:, None] + jnp.cos(t)[None, :]))
+    integral = jnp.einsum("i,j,ij->", wq, wq, integrand)
+    return jnp.log(2.0) + integral / (8.0 * jnp.pi ** 2)
+
+
+# ---------------------------------------------------------------------------
+# TRG (Levin–Nave)
+# ---------------------------------------------------------------------------
+
+def _split(m, chi, eps=_EPS):
+    """Factor m ≈ F1 @ F2.T keeping the top-chi singular values:
+    F1 = U sqrt(s), F2 = V sqrt(s).  After the first coarse-graining the
+    plaquette matrices are non-symmetric, so this must be a true SVD (an
+    eigendecomposition split silently symmetrizes and biases ln Z)."""
+    u, s, vt = svd_safe(m, eps)
+    sq = jnp.sqrt(s[:chi])
+    return u[:, :chi] * sq[None, :], vt[:chi].T * sq[None, :]
+
+
+def trg_step(t, chi, eps=_EPS):
+    """One Levin–Nave coarse-graining step: 2 plaquette sites -> 1 site.
+
+    Even sublattice splits (u,r)|(d,l), odd splits (l,u)|(r,d); the four
+    inward-facing half-tensors of each alternate plaquette contract into
+    the new tensor, whose legs are the old sites' split bonds.
+    """
+    d = t.shape[0]
+    chi_eff = min(chi, d * d)
+    ma = t.reshape(d * d, d * d)                      # (u,r) x (d,l)
+    mb = jnp.moveaxis(t, 3, 0).reshape(d * d, d * d)  # (l,u) x (r,d)
+    f1, f2 = _split(ma, chi_eff, eps)
+    f3, f4 = _split(mb, chi_eff, eps)
+    f1 = f1.reshape(d, d, -1)   # [u, r, k]
+    f2 = f2.reshape(d, d, -1)   # [d, l, k]
+    f3 = f3.reshape(d, d, -1)   # [l, u, k]
+    f4 = f4.reshape(d, d, -1)   # [r, d, k]
+    # Plaquette contraction; new legs (u,r,d,l) = (k of F2, F3, F1, F4).
+    return jnp.einsum("wxa,xyb,yzc,zwd->cbad", f1, f3, f2, f4)
+
+
+def trg_free_energy(beta, *, chi: int = 24, n_steps: int = 24,
+                    eps: float = _EPS, dtype=jnp.float64):
+    """ln Z per site of the 2D Ising model via TRG; differentiable in beta.
+
+    After ``n_steps`` halvings the residual lattice of N/2^n sites is
+    closed with the single-site torus trace.
+    """
+    t = ising_vertex_tensor(beta, dtype=dtype)
+    logz = jnp.zeros((), dtype=dtype)
+    for i in range(n_steps):
+        norm = jnp.max(jnp.abs(t))
+        t = t / norm
+        logz = logz + jnp.log(norm) / (2 ** i)
+        t = trg_step(t, chi, eps)
+    norm = jnp.max(jnp.abs(t))
+    t = t / norm
+    logz = logz + jnp.log(norm) / (2 ** n_steps)
+    trace = jnp.einsum("urur->", t)
+    return logz + jnp.log(trace) / (2 ** n_steps)
+
+
+# ---------------------------------------------------------------------------
+# CTMRG (symmetric, single corner/edge — exploits the full symmetry of T)
+# ---------------------------------------------------------------------------
+
+def ctmrg_environment(beta, *, chi: int = 32, n_steps: int = 40,
+                      eps: float = _EPS, dtype=jnp.float64):
+    """Converged (C, E, T): corner (chi, chi) and edge (chi, D, chi).
+
+    Each step absorbs a row+column into the corner, diagonalizes the
+    enlarged corner with :func:`eigh_safe`, truncates to the top chi
+    eigenvectors (by magnitude), and renormalizes the edge with the same
+    isometry — the reference's CTMRG loop with the package eigensolver
+    (SURVEY.md §3.3), differentiable end-to-end.
+    """
+    t = ising_vertex_tensor(beta, dtype=dtype)
+    d = t.shape[0]
+    # Free-boundary initialization.  Conventions (NW corner, top edge):
+    #   C[a, b]   : a = down chi-leg, b = right chi-leg (symmetric).
+    #   E[p, m, q]: p = left chi-leg, m = down D-leg, q = right chi-leg
+    #               (the same tensor serves every side by symmetry).
+    c = jnp.einsum("urdl->dr", t)
+    e = jnp.einsum("urdl->ldr", t)
+    for _ in range(n_steps):
+        chi_c = c.shape[0]
+        chi_eff = min(chi, chi_c * d)
+        # Absorb one row+column into the corner:
+        # C'[(p, i), (q, j)] = sum C[a,b] E_left[a,l,p] E_top[b,u,q] T[u,j,i,l]
+        cp = jnp.einsum("ab,alp,buq,ujil->piqj", c, e, e, t)
+        cp = cp.reshape(chi_c * d, chi_c * d)
+        cp = (cp + cp.T) / 2
+        w, v = eigh_safe(cp, eps)
+        order = jnp.argsort(-jnp.abs(w))[:chi_eff]
+        wk = w[order]
+        p = v[:, order]                      # isometry ((chi*d), chi_eff)
+        scale = jnp.max(jnp.abs(wk))
+        c = jnp.diag(wk / scale)
+        # Renormalize edge: E'[k, d, k'] =
+        #   sum P[(a,l),k] E[a,u,b] T[u,r,d,l] P[(b,r),k']
+        p3 = p.reshape(chi_c, d, chi_eff)
+        ep = jnp.einsum("alk,aub,urdl,brq->kdq", p3, e, t, p3)
+        e = ep / jnp.max(jnp.abs(ep))
+    return c, e, t
+
+
+def ctmrg_free_energy(beta, *, chi: int = 32, n_steps: int = 40,
+                      eps: float = _EPS, dtype=jnp.float64):
+    """ln Z per site from the converged CTMRG environment.
+
+    kappa = A * B / (N_h * N_v): A is the 3x3 network with T in the
+    center, B the 2x2 corner trace, N_h/N_v the half networks with one
+    edge pair — the standard corner-transfer expression, invariant under
+    the C/E normalizations.
+    """
+    c, e, t = ctmrg_environment(beta, chi=chi, n_steps=n_steps, eps=eps,
+                                dtype=dtype)
+    # A: corners at NW,NE,SE,SW with edges between, T in the center
+    # (clockwise; each edge's D-leg contracts the matching T leg).
+    a = jnp.einsum("ab,buc,cd,dre,ef,fvg,gh,hla,urvl->",
+                   c, e, c, e, c, e, c, e, t)
+    b = jnp.trace(c @ c @ c @ c)
+    nh = jnp.einsum("ab,buc,cd,de,euf,fa->", c, e, c, c, e, c)
+    return jnp.log(a) + jnp.log(b) - 2.0 * jnp.log(nh)
+
+
+def transfer_operator(c, e, t) -> DenseOperator:
+    """Row-to-row transfer operator on the (chi, D, chi) boundary space.
+
+    M[(a,u,b),(c2,v,d2)] = sum_{m,n} E[a,m,c2] T[m,v,n,u] E[b,n,d2] —
+    the object whose dominant eigenpair the reference computes with
+    ``DominantEig`` (reference ``eig.py`` application; SURVEY.md §3.4).
+    """
+    chi_c, d = e.shape[0], e.shape[1]
+    m = jnp.einsum("amc,mvnu,bnd->aubcvd", e, t, e)
+    dim = chi_c * d * chi_c
+    return DenseOperator(m.reshape(dim, dim))
+
+
+def transfer_spectral_gap(beta, *, chi: int = 16, n_steps: int = 30,
+                          num_iters: int = 400, dtype=jnp.float64):
+    """Dominant transfer eigenvalue via the framework's non-symmetric
+    eigensolver on the converged environment; differentiable in beta."""
+    c, e, t = ctmrg_environment(beta, chi=chi, n_steps=n_steps, dtype=dtype)
+    op = transfer_operator(c, e, t)
+    lam, l, r = dominant_eig(op, num_iters=num_iters)
+    return lam
+
+
+# ---------------------------------------------------------------------------
+# Observables (differentiate lnZ through the contraction)
+# ---------------------------------------------------------------------------
+
+def ising_observables(beta, *, method: str = "trg", chi: int = 24,
+                      n_steps: int = 24, dtype=jnp.float64):
+    """(lnZ/N, energy per site, specific heat per site) at ``beta``.
+
+        u = -d(lnZ)/d(beta),     c_v = beta^2 d^2(lnZ)/d(beta)^2,
+
+    computed by differentiating through the full renormalization flow —
+    the reference's flagship second-derivative application (SURVEY.md
+    §3.3).
+    """
+    f = {"trg": trg_free_energy, "ctmrg": ctmrg_free_energy}[method]
+    lnz_fn = lambda b: f(b, chi=chi, n_steps=n_steps, dtype=dtype)
+    beta = jnp.asarray(beta, dtype=dtype)
+    lnz, dlnz = jax.value_and_grad(lnz_fn)(beta)
+    d2lnz = jax.grad(jax.grad(lnz_fn))(beta)
+    return lnz, -dlnz, beta ** 2 * d2lnz

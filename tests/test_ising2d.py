@@ -1,0 +1,151 @@
+"""2D classical Ising tests: TRG and CTMRG free energy vs Onsager's exact
+solution, derivatives through the truncated decompositions (energy,
+specific heat), the degeneracy-safe eigh/svd rules, and the non-symmetric
+transfer-matrix eigensolver — reference ``examples/CTMRG`` application
+(SURVEY.md §2.2 A3, BASELINE config #4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dominantsparseeigenad_tpu import eigh_safe, svd_safe
+from dominantsparseeigenad_tpu.models import (
+    ctmrg_environment, ctmrg_free_energy, ising_observables,
+    ising_vertex_tensor, onsager_free_energy, transfer_spectral_gap,
+    trg_free_energy)
+
+BETA_C = float(np.log(1 + np.sqrt(2)) / 2)
+
+
+# ---------------------------------------------------------------------------
+# decomp rules
+# ---------------------------------------------------------------------------
+
+def test_eigh_safe_matches_fd():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((8, 8))
+    a = jnp.asarray((a + a.T) / 2)
+
+    def f(a):
+        w, v = eigh_safe(a)
+        return jnp.sum(w ** 2) + jnp.sum(v[:, -1] ** 4)
+
+    g = jax.grad(f)(a)
+    eps = 1e-6
+    for i, j in [(0, 0), (2, 5), (7, 1)]:
+        da = jnp.zeros_like(a).at[i, j].set(eps).at[j, i].add(
+            eps if i != j else 0.0)
+        num = (f(a + da / 2) - f(a - da / 2)) / eps
+        got = g[i, j] + (g[j, i] if i != j else 0.0)
+        np.testing.assert_allclose(got, num, rtol=1e-5, atol=1e-8)
+
+
+def test_eigh_safe_degenerate_is_finite():
+    # Exact multiplet: gradient of an invariant (sum of the degenerate
+    # eigenvalues) must be finite and correct, where plain eigh NaNs.
+    a = jnp.asarray(np.diag([1.0, 1.0, 2.0]))
+
+    def f(a):
+        w, v = eigh_safe(a)
+        return w[0] + w[1]
+
+    g = jax.grad(f)(a)
+    assert np.all(np.isfinite(g))
+    np.testing.assert_allclose(g, np.diag([1.0, 1.0, 0.0]), atol=1e-8)
+
+
+def test_svd_safe_matches_fd():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal((7, 7)))
+
+    def f(a):
+        u, s, vt = svd_safe(a)
+        return jnp.sum(s ** 1.5) + jnp.sum((u[:, 0] + vt[0]) ** 4)
+
+    g = jax.grad(f)(a)
+    eps = 1e-6
+    for i, j in [(0, 0), (3, 5), (6, 2)]:
+        da = jnp.zeros_like(a).at[i, j].set(eps)
+        num = (f(a + da / 2) - f(a - da / 2)) / eps
+        np.testing.assert_allclose(g[i, j], num, rtol=1e-5, atol=1e-8)
+
+
+def test_svd_safe_reconstruction():
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.standard_normal((12, 12)))
+    u, s, vt = svd_safe(a)
+    np.testing.assert_allclose(u @ jnp.diag(s) @ vt, a, rtol=1e-10,
+                               atol=1e-12)
+    assert bool(jnp.all(jnp.diff(s) <= 1e-12))  # descending
+
+
+# ---------------------------------------------------------------------------
+# free energy vs Onsager
+# ---------------------------------------------------------------------------
+
+def test_onsager_anchors():
+    # beta -> 0: lnZ/N -> ln 2; at beta_c: ln(2)/2 + 2G/pi.
+    np.testing.assert_allclose(onsager_free_energy(1e-9), np.log(2),
+                               rtol=1e-8)
+    # At beta_c the integrand has a log singularity, so Gauss-Legendre
+    # converges slowly there — use a fine grid and a looser tolerance.
+    catalan = 0.915965594177219015
+    np.testing.assert_allclose(
+        onsager_free_energy(BETA_C, n_quad=512),
+        np.log(2) / 2 + 2 * catalan / np.pi, rtol=2e-5)
+
+
+@pytest.mark.parametrize("beta", [0.3, BETA_C, 0.6])
+def test_trg_free_energy(beta):
+    exact = onsager_free_energy(beta, n_quad=128)
+    got = trg_free_energy(beta, chi=20, n_steps=18)
+    np.testing.assert_allclose(got, exact, rtol=2e-5)
+
+
+@pytest.mark.parametrize("beta", [0.35, 0.55])
+def test_ctmrg_free_energy(beta):
+    exact = onsager_free_energy(beta, n_quad=128)
+    got = ctmrg_free_energy(beta, chi=16, n_steps=30)
+    np.testing.assert_allclose(got, exact, rtol=1e-9)
+
+
+def test_observables_through_trg():
+    """Energy (1st derivative) and specific heat (2nd) through the TRG
+    flow — the reference's flagship double-backward application."""
+    b = 0.5
+    lnz, u, cv = ising_observables(b, method="trg", chi=16, n_steps=14)
+    ex = lambda bb: onsager_free_energy(bb, n_quad=128)
+    u_ex = -jax.grad(ex)(jnp.float64(b))
+    cv_ex = b * b * jax.grad(jax.grad(ex))(jnp.float64(b))
+    np.testing.assert_allclose(u, u_ex, rtol=1e-4)
+    np.testing.assert_allclose(cv, cv_ex, rtol=1e-3)
+
+
+def test_observables_through_ctmrg():
+    b = 0.5
+    lnz, u, cv = ising_observables(b, method="ctmrg", chi=16, n_steps=25)
+    ex = lambda bb: onsager_free_energy(bb, n_quad=128)
+    np.testing.assert_allclose(lnz, ex(b), rtol=1e-5)
+    np.testing.assert_allclose(u, -jax.grad(ex)(jnp.float64(b)), rtol=1e-4)
+    # The 2nd derivative converges slowest in chi/n_steps; chi=16 sits at
+    # ~0.5% (chi=24, n_steps=30 reaches ~8e-4 — kept smaller for runtime).
+    np.testing.assert_allclose(
+        cv, b * b * jax.grad(jax.grad(ex))(jnp.float64(b)), rtol=1e-2)
+
+
+def test_transfer_gap_and_gradient():
+    # beta < beta_c (disordered phase): the dominant transfer eigenvalue
+    # is unique, the Perron-Frobenius setting dominant_eig assumes.  (In
+    # the ordered phase the top pair is asymptotically degenerate —
+    # symmetry-breaking sectors — and power iteration cannot split it.)
+    b = 0.35
+    f = lambda bb: transfer_spectral_gap(bb, chi=10, n_steps=15)
+    lam, dlam = jax.value_and_grad(f)(jnp.float64(b))
+    assert float(lam) > 0 and np.isfinite(float(dlam))
+    # FD cross-check; eps can't be too small — the finite-chi environment
+    # has tiny truncation-order kinks that make 1e-6-scale FD noisy.
+    eps = 1e-4
+    num = (f(jnp.float64(b + eps)) - f(jnp.float64(b - eps))) / (2 * eps)
+    np.testing.assert_allclose(dlam, num, rtol=1e-2)
