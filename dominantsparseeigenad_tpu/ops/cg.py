@@ -62,7 +62,8 @@ def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
 
     def body(state):
         x, r, p, rs, it = state
-        ap = matvec(p)
+        with jax.named_scope("cg_matvec"):
+            ap = matvec(p)
         denom = jnp.vdot(p, ap).real
         alpha = rs / jnp.where(denom == 0, 1.0, denom)
         alpha = jnp.where(denom == 0, 0.0, alpha)

@@ -98,15 +98,17 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
     def step(carry, i):
         basis, q, q_prev, beta_prev = carry
 
-        w = op.matvec(q)
+        with jax.named_scope("lanczos_matvec"):
+            w = op.matvec(q)
         alpha = jnp.vdot(q, w)
         w = w - alpha * q - beta_prev * q_prev
         if reorthogonalize:
             # Unwritten rows of `basis` are zero, so a single masked
             # projection against the full (k+1, N) block is exact — two
             # MXU matmuls instead of a python loop over vectors.
-            w = w - basis.T @ (basis @ w)
-            w = w - basis.T @ (basis @ w)  # twice is enough (Kahan)
+            with jax.named_scope("lanczos_reorth"):
+                w = w - basis.T @ (basis @ w)
+                w = w - basis.T @ (basis @ w)  # twice is enough (Kahan)
         beta = jnp.linalg.norm(w)
 
         # Breakdown: restart with a fresh vector orthogonal to the basis.

@@ -40,32 +40,90 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 
-def _spmv_kernel(cols_ref, vals_ref, x_ref, y_ref):
+_ROW_GROUP = 8  # block-rows per grid step; 8 f32 sublanes per tile
+
+
+def _spmv_kernel(cols_ref, vals_ref, x_hbm_ref, y_ref, xg_ref, sems):
+    # Grid: (row-group i, slot j).  Each step streams a (G, 1, bs, bs)
+    # stack of value blocks through the Pallas pipeline (the bandwidth
+    # driver) while the G needed x segments are pulled from HBM by
+    # explicit sliced DMAs with dynamic offsets from scalar-prefetch —
+    # dynamic *gathers* in VMEM and 1-row output blocks both violate TPU
+    # tiling rules, so the gather happens at the DMA level instead.
+    # The gathers are double-buffered: step s starts step s+1's segment
+    # DMAs before computing, hiding their latency behind the matmul and
+    # the pipeline's own vals fetch (without this the ~G small-DMA
+    # latencies serialize with compute and halve throughput).
+    i = pl.program_id(0)
     j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    total = pl.num_programs(0) * nj
+    g = vals_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
         y_ref[...] = jnp.zeros_like(y_ref)
 
-    # vals block: (1, 1, bs, bs); x block: (1, bs) gathered by index_map.
-    block = vals_ref[0, 0]
-    xseg = x_ref[0]
-    y_ref[0, :] += jnp.dot(block, xseg,
-                           preferred_element_type=y_ref.dtype)
+    s = i * nj + j
+    slot = jax.lax.rem(s, jnp.int32(2))
+    nslot = 1 - slot
+
+    # cols rides in scalar-prefetch SMEM *transposed* to (max_blk, nb):
+    # SMEM pads the minor dimension to 128 lanes, so the natural
+    # (nb, max_blk) layout would waste 128/max_blk x of the 1 MiB SMEM
+    # budget and exhaust it around nb ~ 2000 block-rows.
+    def start_gathers(step, into_slot):
+        ii = jax.lax.div(step, jnp.int32(nj))
+        jj = jax.lax.rem(step, jnp.int32(nj))
+        for r in range(g):
+            idx = cols_ref[jj, ii * g + r]
+            pltpu.make_async_copy(
+                x_hbm_ref.at[idx], xg_ref.at[into_slot, r],
+                sems.at[into_slot, r],
+            ).start()
+
+    @pl.when(s == 0)
+    def _():
+        start_gathers(s, slot)
+
+    @pl.when(s + 1 < total)
+    def _():
+        start_gathers(s + 1, nslot)
+
+    for r in range(g):
+        pltpu.make_async_copy(
+            x_hbm_ref.at[0], xg_ref.at[slot, r], sems.at[slot, r],
+        ).wait()
+
+    blocks = vals_ref[:, 0]                     # (G, bs, bs)
+    y_ref[...] += jax.lax.dot_general(
+        blocks, xg_ref[slot],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,    # full f32, not bf16 passes
+        preferred_element_type=y_ref.dtype)
 
 
 def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
     nb, max_blk, bs, _ = vals.shape
-    xb = x.reshape(nb, bs)
+    g = _ROW_GROUP
+    smem_bytes = max_blk * (-(-nb // 128) * 128) * 4
+    if nb % g != 0 or smem_bytes > 768 * 1024:
+        # Row count not tileable, or the index table would overflow the
+        # 1 MiB scalar-memory budget -> XLA fallback.
+        return _bell_spmv_xla(vals, cols, x)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,            # cols
-        grid=(nb, max_blk),
+        grid=(nb // g, max_blk),
         in_specs=[
-            pl.BlockSpec((1, 1, bs, bs), lambda i, j, cols: (i, j, 0, 0)),
-            pl.BlockSpec((1, bs), lambda i, j, cols: (cols[i, j], 0)),
+            pl.BlockSpec((g, 1, bs, bs), lambda i, j, cols: (i, j, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, bs), lambda i, j, cols: (i, 0)),
+        out_specs=pl.BlockSpec((g, bs), lambda i, j, cols: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, g, bs), vals.dtype),      # double-buffered x
+            pltpu.SemaphoreType.DMA((2, g)),
+        ],
     )
     y = pl.pallas_call(
         _spmv_kernel,
@@ -78,7 +136,7 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
             + x.size * x.dtype.itemsize * max_blk,
             transcendentals=0,
         ),
-    )(cols, vals, xb)
+    )(cols.T, vals, x.reshape(nb, bs))
     return y.reshape(-1)
 
 
@@ -86,6 +144,7 @@ def _bell_spmv_xla(vals, cols, x):
     nb, max_blk, bs, _ = vals.shape
     xb = x.reshape(nb, bs)
     y = jnp.einsum("ijab,ijb->ia", vals, xb[cols],
+                   precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=x.dtype)
     return y.reshape(-1)
 

@@ -1,0 +1,72 @@
+"""TFIM matrix-free driver — fidelity susceptibility at large N
+(reference ``examples/TFIM`` sparse scripts; SURVEY.md §2.2 A2; BASELINE
+config #3; the paper's flagship figure).
+
+The 2^N-dimensional Hamiltonian is never materialized: Lanczos forward +
+deflated-CG implicit tangents give chi_F(g) = ||dpsi/dg||^2 per sweep
+point.  On TPU, run with --dtype f32 (the default dtype is f64 for CPU
+ground-truth runs).
+
+Run: python examples/tfim_sparse.py --n 16 --points 21
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--points", type=int, default=11)
+    ap.add_argument("--gmin", type=float, default=0.5)
+    ap.add_argument("--gmax", type=float, default=1.5)
+    ap.add_argument("--k", type=int, default=100, help="Lanczos steps")
+    ap.add_argument("--dtype", choices=["f32", "f64"], default="f64")
+    ap.add_argument("--log", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+
+    from dominantsparseeigenad_tpu import dominant_eigh
+    from dominantsparseeigenad_tpu.models import tfim_operator, tfim_exact_e0
+    from dominantsparseeigenad_tpu.utils import JsonlLogger, timeit
+
+    tol = 1e-10 if args.dtype == "f64" else 1e-5
+
+    @jax.jit
+    def observables(g):
+        def ground(g):
+            op = tfim_operator(args.n, g, dtype=dtype)
+            return dominant_eigh(op, k=args.k, extreme="min", tol=tol,
+                                 maxiter=400)
+        (lam, v), (dlam, dv) = jax.jvp(ground, (g,),
+                                       (jnp.ones((), dtype),))
+        return lam, dlam, jnp.vdot(dv, dv)
+
+    log = JsonlLogger(args.log)
+    print(f"# TFIM sparse  N={args.n}  dim={1 << args.n}  "
+          f"backend={jax.default_backend()}  dtype={args.dtype}")
+    print(f"# {'g':>6} {'E0/N':>12} {'dE0/dg':>12} {'chi_F':>12} "
+          f"{'err(E0)':>9}")
+    for g in jnp.linspace(args.gmin, args.gmax, args.points):
+        g = jnp.asarray(g, dtype)
+        lam, dlam, chi = (float(x) for x in observables(g))
+        exact = float(tfim_exact_e0(args.n, float(g)))
+        print(f"  {float(g):6.3f} {lam/args.n:12.8f} {dlam:12.6f} "
+              f"{chi:12.6f} {abs(lam-exact)/abs(exact):9.1e}")
+        log.log("tfim_sparse", g=float(g), e0=lam, de0=dlam, chi=chi)
+
+    t = timeit(observables, jnp.asarray(1.0, dtype), repeats=3)
+    print(f"# steady-state per point: {t.best*1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
