@@ -24,14 +24,16 @@ Accuracy is asserted against the exact Jordan-Wigner E0/dE0 before timing.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 N_SPINS = 20
-K_LANCZOS = 100
+K_LANCZOS = 60   # converged for the gapped g=1.2 point (validated vs JW)
+REORTH_PASSES = 1  # single sweep; orthogonality checked in tests
 G = 1.2          # off-critical: clean spectral gap, CG converges fast
 CG_TOL = 1e-5
-CG_MAXITER = 400
+CG_MAXITER = 150
 REPEATS = 3
 
 
@@ -61,7 +63,8 @@ def bench_jax():
         def ground(g):
             op = tfim_operator(N_SPINS, g, dtype=dtype)
             return dominant_eigh(op, k=K_LANCZOS, extreme="min",
-                                 tol=CG_TOL, maxiter=CG_MAXITER)
+                                 tol=CG_TOL, maxiter=CG_MAXITER,
+                                 reorth_passes=REORTH_PASSES)
 
         # One jvp: dE0/dg and dpsi/dg (one forward + one deflated CG).
         (lam, v), (dlam, dv) = jax.jvp(
@@ -137,8 +140,8 @@ def bench_torch():
             w = matvec(g, q)
             alphas[i] = torch.dot(q, w)
             w = w - alphas[i] * q - beta_prev * q_prev
-            w = w - basis @ (basis.t() @ w)
-            w = w - basis @ (basis.t() @ w)
+            for _ in range(REORTH_PASSES):  # same sweeps as ours (fair)
+                w = w - basis @ (basis.t() @ w)
             beta = w.norm()
             if i < k - 1:
                 betas[i] = beta
@@ -214,10 +217,58 @@ def exact_reference():
     return e0(G), de0
 
 
+def wait_for_device(max_tries: int = 6, probe_timeout: int = 120) -> None:
+    """The tunneled TPU service occasionally wedges for minutes after a
+    heavy job (see utils.timing docs); probe it in a subprocess with a
+    timeout and back off until it answers, so a driver-run bench doesn't
+    report a hang as a result."""
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones(8))))")
+    for attempt in range(max_tries):
+        try:
+            subprocess.run([sys.executable, "-c", probe], check=True,
+                           timeout=probe_timeout,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            return
+        except Exception:
+            print(f"# device probe failed (attempt {attempt + 1}); "
+                  f"backing off", file=sys.stderr)
+            time.sleep(60)
+
+
+def run_jax_staged(max_tries: int = 4, stage_timeout: int = 1200):
+    """Run bench_jax in a subprocess with a hard timeout, retrying after
+    back-off — a wedged remote device then costs minutes, not the whole
+    driver run."""
+    import subprocess
+    for attempt in range(max_tries):
+        wait_for_device()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--jax-only"],
+                timeout=stage_timeout, capture_output=True, text=True)
+            for line in reversed(proc.stdout.strip().splitlines()):
+                if line.startswith("["):
+                    return tuple(json.loads(line))
+            print(f"# jax stage produced no result (attempt {attempt+1}):"
+                  f" {proc.stderr[-400:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# jax stage timed out (attempt {attempt + 1})",
+                  file=sys.stderr)
+        time.sleep(120)
+    raise RuntimeError("jax benchmark stage failed after retries")
+
+
 def main():
+    if "--jax-only" in sys.argv:
+        print(json.dumps(list(bench_jax())))
+        return
+
     e0_exact, de0_exact = exact_reference()
 
-    t_ours, lam, dlam, chi = bench_jax()
+    t_ours, lam, dlam, chi = run_jax_staged()
     rel = abs(lam - e0_exact) / abs(e0_exact)
     drel = abs(dlam - de0_exact) / abs(de0_exact)
     assert rel < 1e-4, f"E0 off: {lam} vs {e0_exact} (rel {rel:.2e})"

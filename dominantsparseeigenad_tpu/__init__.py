@@ -23,14 +23,19 @@ from .ops import (
     power_iteration,
     LanczosResult,
     cg,
+    minres,
     solve_spd,
+    solve_symmetric,
     solve_deflated,
     solve_general,
     dominant_eigh,
+    dominant_eigh_multi,
     EighOptions,
+    EighMultiOptions,
     dominant_eig,
     EigOptions,
     COOOperator,
+    BCOOOperator,
     BellOperator,
     random_bell_operator,
     bell_spmv,

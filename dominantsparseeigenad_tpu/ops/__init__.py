@@ -8,10 +8,13 @@ from .operators import (
     as_operator,
 )
 from .lanczos import lanczos, lanczos_eigh, power_iteration, LanczosResult
-from .cg import cg, solve_spd, solve_deflated, solve_general
-from .eigh import dominant_eigh, EighOptions
+from .cg import (cg, minres, solve_spd, solve_symmetric, solve_deflated,
+                 solve_general)
+from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
+                   EighMultiOptions)
 from .eig import dominant_eig, EigOptions
-from .sparse import COOOperator, BellOperator, random_bell_operator
+from .sparse import (COOOperator, BCOOOperator, BellOperator,
+                     random_bell_operator)
 from .pallas_spmv import bell_spmv
 from .decomp import eigh_safe, svd_safe
 
@@ -20,8 +23,11 @@ __all__ = [
     "TransposedOperator", "ShiftedOperator", "DeflatedOperator",
     "as_operator",
     "lanczos", "lanczos_eigh", "power_iteration", "LanczosResult",
-    "cg", "solve_spd", "solve_deflated", "solve_general",
-    "dominant_eigh", "EighOptions", "dominant_eig", "EigOptions",
-    "COOOperator", "BellOperator", "random_bell_operator", "bell_spmv",
+    "cg", "minres", "solve_spd", "solve_symmetric", "solve_deflated",
+    "solve_general",
+    "dominant_eigh", "dominant_eigh_multi", "EighOptions",
+    "EighMultiOptions", "dominant_eig", "EigOptions",
+    "COOOperator", "BCOOOperator", "BellOperator", "random_bell_operator",
+    "bell_spmv",
     "eigh_safe", "svd_safe",
 ]

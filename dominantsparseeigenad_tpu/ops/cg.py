@@ -79,6 +79,78 @@ def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
     return x
 
 
+def minres(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
+           tol: float = 1e-7, maxiter: int | None = None) -> jax.Array:
+    """MINRES for a symmetric (possibly **indefinite**) operator.
+
+    Paige–Saunders: Lanczos recurrence + Givens-rotation QR of the
+    tridiagonal, as a ``lax.while_loop``.  The eigensolver backward uses
+    CG when the deflated restriction is definite (extremal eigenpairs);
+    MINRES covers the indefinite cases (interior/shifted systems) the
+    reference's CG-only backward cannot (SURVEY.md §7 design stance 2).
+    """
+    if maxiter is None:
+        maxiter = 10 * b.shape[-1]
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x0)
+    beta1 = jnp.linalg.norm(r)
+    target = tol * jnp.linalg.norm(b)
+    zero = jnp.zeros_like(beta1)
+
+    # Carry: x, r1, r2 (scaled Lanczos vecs), w, w2 (update dirs),
+    #        oldb, beta, dbar, epsln, cs, sn, phibar, it
+    state0 = (x0, r, r, jnp.zeros_like(b), jnp.zeros_like(b),
+              zero, beta1, zero, zero, -jnp.ones_like(beta1), zero,
+              beta1, jnp.zeros((), jnp.int32))
+
+    def cond(s):
+        phibar, it = s[-2], s[-1]
+        return jnp.logical_and(phibar > target, it < maxiter)
+
+    def body(s):
+        (x, r1, r2, w, w2, oldb, beta, dbar, epsln, cs, sn, phibar,
+         it) = s
+        v = r2 / beta
+        y = matvec(v)
+        y = y - jnp.where(it >= 1, beta / jnp.where(oldb == 0, 1.0, oldb),
+                          0.0) * r1
+        alfa = jnp.vdot(v, y)
+        y = y - (alfa / beta) * r2
+        r1, r2 = r2, y
+        oldb, beta_new = beta, jnp.linalg.norm(y)
+
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln = sn * beta_new
+        dbar = -cs * beta_new
+        gamma = jnp.sqrt(gbar * gbar + beta_new * beta_new)
+        gamma = jnp.maximum(gamma, jnp.finfo(b.dtype).tiny)
+        cs = gbar / gamma
+        sn = beta_new / gamma
+        phi = cs * phibar
+        phibar = sn * phibar
+
+        w1, w2_new = w2, w
+        w_new = (v - oldeps * w1 - delta * w2_new) / gamma
+        x = x + phi * w_new
+        return (x, r1, r2, w_new, w2_new, oldb, beta_new, dbar, epsln,
+                cs, sn, phibar, it + 1)
+
+    out = lax.while_loop(cond, body, state0)
+    return out[0]
+
+
+def solve_symmetric(matvec: Callable, b: jax.Array, *, tol: float = 1e-7,
+                    maxiter: int | None = None) -> jax.Array:
+    """Differentiable symmetric-indefinite solve: MINRES wrapped in
+    ``custom_linear_solve`` (same arbitrary-order machinery as
+    :func:`solve_spd`)."""
+    solver = partial(minres, tol=tol, maxiter=maxiter)
+    return lax.custom_linear_solve(
+        matvec, b, solve=lambda mv, rhs: solver(mv, rhs), symmetric=True)
+
+
 def solve_spd(matvec: Callable, b: jax.Array, *, tol: float = 1e-7,
               maxiter: int | None = None) -> jax.Array:
     """Differentiable SPD solve: CG wrapped in ``custom_linear_solve``.
@@ -94,8 +166,8 @@ def solve_spd(matvec: Callable, b: jax.Array, *, tol: float = 1e-7,
 
 def solve_deflated(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
                    definite_sign: float | jax.Array = 1.0,
-                   tol: float = 1e-7, maxiter: int | None = None
-                   ) -> jax.Array:
+                   tol: float = 1e-7, maxiter: int | None = None,
+                   method: str = "cg") -> jax.Array:
     """Differentiable solve of ``P (A - lam I) P x = P b`` on ``span(V)^⊥``.
 
     This is the core operation of the eigensolver backward/JVP (reference
@@ -108,15 +180,26 @@ def solve_deflated(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
     -1 when it is the maximum (solve λI - A instead).  The returned x still
     satisfies the original (unsigned) equation.
 
+    ``method="minres"`` solves the (possibly indefinite) restriction with
+    MINRES instead — needed when ``lam`` is an interior eigenvalue, where
+    no sign makes the deflated operator definite.  ``definite_sign`` is
+    then ignored.
+
     The solution is the unique one orthogonal to ``span(V)``.
     """
+    if method not in ("cg", "minres"):
+        raise ValueError(f"method must be cg|minres, got {method!r}")
     op = as_operator(op)
+    if method == "minres":
+        definite_sign = 1.0
     sign = jnp.asarray(definite_sign, dtype=b.dtype)
 
     def deflated_mv(x):
         px = _project_out(V, x)
         y = op.matvec(px) - lam * px
         return sign * _project_out(V, y)
+
+    inner = cg if method == "cg" else minres
 
     def solver(mv, r):
         # The deflated operator is singular on span(V).  The solves issued
@@ -127,7 +210,7 @@ def solve_deflated(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
         # the pseudo-inverse restricted to span(V)^⊥, which is exactly the
         # IFT tangent space.
         r = _project_out(V, r)
-        return _project_out(V, cg(mv, r, tol=tol, maxiter=maxiter))
+        return _project_out(V, inner(mv, r, tol=tol, maxiter=maxiter))
 
     rhs = sign * _project_out(V, b)
     x = lax.custom_linear_solve(deflated_mv, rhs, solve=solver,

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from .cg import solve_deflated
-from .lanczos import lanczos_eigh
+from .lanczos import lanczos, lanczos_eigh
 from .operators import LinearOperator, as_operator
 
 
@@ -53,13 +53,15 @@ class EighOptions:
     maxiter: int | None = None
     seed: int = 0
     reorthogonalize: bool = True
+    reorth_passes: int = 2
 
 
 def _forward(op, extreme: str, opts: EighOptions):
     key = jax.random.PRNGKey(opts.seed)
     k = min(opts.k, op.dim)
     return lanczos_eigh(op, k, extreme=extreme, key=key,
-                        reorthogonalize=opts.reorthogonalize)
+                        reorthogonalize=opts.reorthogonalize,
+                        reorth_passes=opts.reorth_passes)
 
 
 def _pair_jvp(op, dop, lam, v, sign, opts):
@@ -96,9 +98,111 @@ def _dominant_eigh_jvp(extreme, opts, primals, tangents):
     return out, (dlam, dv)
 
 
+@dataclasses.dataclass(frozen=True)
+class EighMultiOptions:
+    """Static configuration for :func:`dominant_eigh_multi`."""
+
+    r: int = 4
+    k: int = 128
+    tol: float = 1e-8
+    maxiter: int | None = None
+    seed: int = 0
+    reorth_passes: int = 2
+    gap_eps: float = 1e-12
+
+
+def _multi_forward(op, extreme: str, opts: EighMultiOptions):
+    key = jax.random.PRNGKey(opts.seed)
+    k = min(opts.k, op.dim)
+    res = lanczos(op, k, key=key, reorth_passes=opts.reorth_passes)
+    t = jnp.diag(res.alphas)
+    if res.betas.shape[0]:
+        t = t + jnp.diag(res.betas, 1) + jnp.diag(res.betas, -1)
+    evals, evecs = jnp.linalg.eigh(t)
+    idx = (jnp.arange(opts.r) if extreme == "min"
+           else k - 1 - jnp.arange(opts.r))
+    lams = evals[idx]
+    v = res.basis @ evecs[:, idx]
+    # Deterministic per-vector sign gauge.
+    pivots = jnp.take_along_axis(v, jnp.argmax(jnp.abs(v), axis=0)[None],
+                                 axis=0)[0]
+    return lams, v * jnp.sign(pivots)[None, :]
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1, 2))
+def _dominant_eigh_multi(op, extreme: str, opts: EighMultiOptions):
+    return _multi_forward(op, extreme, opts)
+
+
+@_dominant_eigh_multi.defjvp
+def _dominant_eigh_multi_jvp(extreme, opts, primals, tangents):
+    (op,) = primals
+    (dop,) = tangents
+    lams, v = _dominant_eigh_multi(op, extreme, opts)
+
+    _, dav = jax.jvp(lambda o: o.matmat(v), (op,), (dop,))
+    m = v.T @ dav                              # (r, r): V^T dA V
+    dlams = jnp.diagonal(m)
+
+    # In-block eigenvector rotations: same Lorentzian-broadened gap
+    # inverses as ops.decomp.eigh_safe — finite on multiplets, exact for
+    # separated pairs.
+    gap = lams[None, :] - lams[:, None]        # gap[j, i] = lam_i - lam_j
+    f = gap / (gap * gap + opts.gap_eps ** 2)
+    f = f * (1.0 - jnp.eye(opts.r, dtype=lams.dtype))
+    dv_in = v @ (f * m)
+
+    # Out-of-block component: for each pair i, solve the block-deflated
+    # system (A - lam_i) x_i = -(I - V V^T) dA v_i on span(V)^perp —
+    # well-conditioned because the whole near-degenerate cluster is
+    # deflated (the reference deflates rank 1 only; SURVEY.md §7 hard
+    # part 2).
+    sign = +1.0 if extreme == "min" else -1.0
+    rhs = -(dav - v @ m)
+
+    def one(lam_i, b_i):
+        return solve_deflated(op, lam_i, v, b_i, definite_sign=sign,
+                              tol=opts.tol, maxiter=opts.maxiter)
+
+    dv_out = jax.vmap(one, in_axes=(0, 1), out_axes=1)(lams, rhs)
+    return (lams, v), (dlams, dv_in + dv_out)
+
+
+def dominant_eigh_multi(op, r: int = 4, k: int = 128, *,
+                        extreme: str = "min", tol: float = 1e-8,
+                        maxiter: int | None = None, seed: int = 0,
+                        reorth_passes: int = 2, gap_eps: float = 1e-12):
+    """Top-r extremal eigenpairs of a symmetric operator, differentiable.
+
+    Block extension of :func:`dominant_eigh` (the reference computes one
+    pair at a time): one Lanczos run yields the r algebraically smallest
+    ("min") or largest ("max") eigenpairs, and the derivative rule
+    combines block deflation (robust under clustering) with broadened
+    in-block rotation terms.  Intended for truncated-decomposition users
+    like CTMRG that keep a whole spectral cluster.
+
+    Returns ``(lams, V)`` with ``lams`` shape (r,) and ``V`` shape (N, r)
+    orthonormal.
+    """
+    op = as_operator(op)
+    if extreme not in ("min", "max"):
+        raise ValueError(f"extreme must be min|max, got {extreme!r}")
+    r = int(r)
+    k = int(min(k, op.dim))
+    if r > k:
+        raise ValueError(f"need k >= r, got k={k} < r={r}")
+    opts = EighMultiOptions(
+        r=r, k=k, tol=float(tol),
+        maxiter=None if maxiter is None else int(maxiter),
+        seed=int(seed), reorth_passes=int(reorth_passes),
+        gap_eps=float(gap_eps))
+    return _dominant_eigh_multi(op, extreme, opts)
+
+
 def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
                   tol: float = 1e-8, maxiter: int | None = None,
-                  seed: int = 0, reorthogonalize: bool = True):
+                  seed: int = 0, reorthogonalize: bool = True,
+                  reorth_passes: int = 2):
     """Extremal eigenpair(s) of a symmetric operator, differentiable to all
     orders w.r.t. the operator's pytree parameters.
 
@@ -122,5 +226,6 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
     op = as_operator(op)
     opts = EighOptions(k=int(k), tol=float(tol),
                        maxiter=None if maxiter is None else int(maxiter),
-                       seed=int(seed), reorthogonalize=bool(reorthogonalize))
+                       seed=int(seed), reorthogonalize=bool(reorthogonalize),
+                       reorth_passes=int(reorth_passes))
     return _dominant_eigh(op, extreme, opts)

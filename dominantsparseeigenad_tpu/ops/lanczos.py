@@ -55,7 +55,8 @@ def _tridiagonal(alphas: jax.Array, betas: jax.Array) -> jax.Array:
 
 def lanczos(op, k: int, *, v0: jax.Array | None = None,
             key: jax.Array | None = None,
-            reorthogonalize: bool = True) -> LanczosResult:
+            reorthogonalize: bool = True,
+            reorth_passes: int = 2) -> LanczosResult:
     """Run k steps of Lanczos on a symmetric operator.
 
     Parameters
@@ -68,6 +69,10 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
     reorthogonalize : full reorthogonalization against all stored basis
           vectors each step (strongly recommended; loss of orthogonality is
           the classic Lanczos failure mode).
+    reorth_passes : projection sweeps per step (2 = classical "twice is
+          enough", robust; 1 halves the dominant HBM traffic of the run at
+          a small orthogonality cost — check with
+          ``utils.diagnostics.orthogonality_loss`` before trusting it).
     """
     op = as_operator(op)
     n, dtype = op.dim, op.dtype
@@ -107,8 +112,8 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
             # projection against the full (k+1, N) block is exact — two
             # MXU matmuls instead of a python loop over vectors.
             with jax.named_scope("lanczos_reorth"):
-                w = w - basis.T @ (basis @ w)
-                w = w - basis.T @ (basis @ w)  # twice is enough (Kahan)
+                for _ in range(reorth_passes):  # 2 = "twice is enough"
+                    w = w - basis.T @ (basis @ w)
         beta = jnp.linalg.norm(w)
 
         # Breakdown: restart with a fresh vector orthogonal to the basis.
@@ -143,7 +148,8 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
 def lanczos_eigh(op, k: int, *, extreme: str = "both",
                  v0: jax.Array | None = None,
                  key: jax.Array | None = None,
-                 reorthogonalize: bool = True):
+                 reorthogonalize: bool = True,
+                 reorth_passes: int = 2):
     """Extremal eigenpair(s) of a symmetric operator via k-step Lanczos.
 
     Functional equivalent of the reference's ``symeigLanczos(A, k, extreme,
@@ -158,7 +164,8 @@ def lanczos_eigh(op, k: int, *, extreme: str = "both",
     """
     if extreme not in ("min", "max", "both"):
         raise ValueError(f"extreme must be min|max|both, got {extreme!r}")
-    res = lanczos(op, k, v0=v0, key=key, reorthogonalize=reorthogonalize)
+    res = lanczos(op, k, v0=v0, key=key, reorthogonalize=reorthogonalize,
+                  reorth_passes=reorth_passes)
     t = _tridiagonal(res.alphas, res.betas)
     evals, evecs = jnp.linalg.eigh(t)
 

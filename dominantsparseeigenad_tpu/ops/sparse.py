@@ -96,6 +96,51 @@ class COOOperator(LinearOperator):
                    jnp.asarray(a[rows, cols]), a.shape[0])
 
 
+@jax.tree_util.register_pytree_node_class
+class BCOOOperator(LinearOperator):
+    """Operator backed by ``jax.experimental.sparse.BCOO`` (the library
+    CSR/COO tier): XLA's native batched-COO matvec with AD support.
+    Complements :class:`COOOperator` (hand-rolled segment_sum) and
+    :class:`BellOperator` (Pallas); useful when interoperating with code
+    that already produces BCOO matrices."""
+
+    def __init__(self, mat):
+        from jax.experimental import sparse as jsparse
+        if not isinstance(mat, jsparse.BCOO):
+            mat = jsparse.BCOO.fromdense(mat)
+        self.mat = mat
+
+    def matvec(self, x):
+        return self.mat @ x
+
+    def rmatvec(self, x):
+        return self.mat.T @ x
+
+    def to_dense(self):
+        return self.mat.todense()
+
+    @property
+    def dim(self):
+        return self.mat.shape[0]
+
+    @property
+    def dtype(self):
+        return self.mat.dtype
+
+    @property
+    def nnz(self):
+        return self.mat.nse
+
+    def tree_flatten(self):
+        return (self.mat,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.mat, = children
+        return obj
+
+
 # ---------------------------------------------------------------------------
 # Blocked-ELL — the TPU-native format
 # ---------------------------------------------------------------------------

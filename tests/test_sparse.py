@@ -145,3 +145,27 @@ def test_bell_eigh_gradient():
     vb = v.reshape(nb, bs)
     expected = np.einsum("ia,ijb->ijab", vb, vb[np.asarray(op.cols)])
     np.testing.assert_allclose(g, expected, rtol=1e-6, atol=1e-9)
+
+
+def test_bcoo_operator():
+    from dominantsparseeigenad_tpu import BCOOOperator
+    n = 64
+    a = _random_sparse_sym(n, density=0.15, seed=9)
+    op = BCOOOperator(jnp.asarray(a))
+    x = jnp.asarray(np.random.default_rng(9).standard_normal(n))
+    np.testing.assert_allclose(op.matvec(x), a @ x, rtol=1e-12)
+    lam, _ = dominant_eigh(op, k=n, extreme="max")
+    np.testing.assert_allclose(lam, np.linalg.eigvalsh(a)[-1], rtol=1e-9)
+
+    # differentiable through the eigensolver w.r.t. the stored values
+    def loss(vals):
+        import jax.experimental.sparse as jsparse
+        m = jsparse.BCOO((vals, op.mat.indices), shape=op.mat.shape)
+        l, _ = dominant_eigh(BCOOOperator(m), k=n, extreme="max")
+        return l
+    g = jax.grad(loss)(op.mat.data)
+    evals, evecs = np.linalg.eigh(a)
+    v = evecs[:, -1]
+    idx = np.asarray(op.mat.indices)
+    np.testing.assert_allclose(g, v[idx[:, 0]] * v[idx[:, 1]],
+                               rtol=1e-6, atol=1e-10)
