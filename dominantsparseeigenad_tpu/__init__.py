@@ -41,6 +41,7 @@ from .ops import (
     bell_spmv,
     eigh_safe,
     svd_safe,
+    dominant_svd,
 )
 
 __version__ = "0.1.0"

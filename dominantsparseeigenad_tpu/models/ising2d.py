@@ -89,17 +89,35 @@ def onsager_free_energy(beta, n_quad: int = 64):
 # TRG (Levin–Nave)
 # ---------------------------------------------------------------------------
 
-def _split(m, chi, eps=_EPS):
+def _split(m, chi, eps=_EPS, method: str = "full"):
     """Factor m ≈ F1 @ F2.T keeping the top-chi singular values:
     F1 = U sqrt(s), F2 = V sqrt(s).  After the first coarse-graining the
     plaquette matrices are non-symmetric, so this must be a true SVD (an
-    eigendecomposition split silently symmetrizes and biases ln Z)."""
+    eigendecomposition split silently symmetrizes and biases ln Z).
+
+    ``method="full"`` uses the dense degeneracy-safe SVD;
+    ``method="lanczos"`` uses the framework's truncated
+    :func:`~..ops.svd.dominant_svd` (block Lanczos on the Hermitian
+    embedding) — the package-eigensolver-inside-the-renormalization mode
+    of the reference application, preferable when chi << dim.
+    """
+    # The truncated path needs sigma_chi to be a genuine (nonzero)
+    # singular value: with chi == dim the kept set would include the
+    # exact zero modes of the rank-deficient early-step matrices, whose
+    # singular subspaces are not differentiable.  Untruncated splits are
+    # cheap dense ops anyway.
+    if method == "lanczos" and chi < m.shape[0]:
+        from ..ops.svd import dominant_svd
+        k = min(m.shape[0] * 2, 2 * chi + 40)
+        u, s, v = dominant_svd(m, r=chi, k=k, gap_eps=eps)
+        sq = jnp.sqrt(s)
+        return u * sq[None, :], v * sq[None, :]
     u, s, vt = svd_safe(m, eps)
     sq = jnp.sqrt(s[:chi])
     return u[:, :chi] * sq[None, :], vt[:chi].T * sq[None, :]
 
 
-def trg_step(t, chi, eps=_EPS):
+def trg_step(t, chi, eps=_EPS, method: str = "full"):
     """One Levin–Nave coarse-graining step: 2 plaquette sites -> 1 site.
 
     Even sublattice splits (u,r)|(d,l), odd splits (l,u)|(r,d); the four
@@ -110,8 +128,8 @@ def trg_step(t, chi, eps=_EPS):
     chi_eff = min(chi, d * d)
     ma = t.reshape(d * d, d * d)                      # (u,r) x (d,l)
     mb = jnp.moveaxis(t, 3, 0).reshape(d * d, d * d)  # (l,u) x (r,d)
-    f1, f2 = _split(ma, chi_eff, eps)
-    f3, f4 = _split(mb, chi_eff, eps)
+    f1, f2 = _split(ma, chi_eff, eps, method)
+    f3, f4 = _split(mb, chi_eff, eps, method)
     f1 = f1.reshape(d, d, -1)   # [u, r, k]
     f2 = f2.reshape(d, d, -1)   # [d, l, k]
     f3 = f3.reshape(d, d, -1)   # [l, u, k]
@@ -121,7 +139,8 @@ def trg_step(t, chi, eps=_EPS):
 
 
 def trg_free_energy(beta, *, chi: int = 24, n_steps: int = 24,
-                    eps: float = _EPS, dtype=jnp.float64):
+                    eps: float = _EPS, dtype=jnp.float64,
+                    split_method: str = "full"):
     """ln Z per site of the 2D Ising model via TRG; differentiable in beta.
 
     After ``n_steps`` halvings the residual lattice of N/2^n sites is
@@ -133,7 +152,7 @@ def trg_free_energy(beta, *, chi: int = 24, n_steps: int = 24,
         norm = jnp.max(jnp.abs(t))
         t = t / norm
         logz = logz + jnp.log(norm) / (2 ** i)
-        t = trg_step(t, chi, eps)
+        t = trg_step(t, chi, eps, split_method)
     norm = jnp.max(jnp.abs(t))
     t = t / norm
     logz = logz + jnp.log(norm) / (2 ** n_steps)

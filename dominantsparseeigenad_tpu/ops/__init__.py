@@ -17,6 +17,7 @@ from .sparse import (COOOperator, BCOOOperator, BellOperator,
                      random_bell_operator)
 from .pallas_spmv import bell_spmv
 from .decomp import eigh_safe, svd_safe
+from .svd import dominant_svd
 
 __all__ = [
     "LinearOperator", "DenseOperator", "MatrixFreeOperator",
@@ -29,5 +30,5 @@ __all__ = [
     "EighMultiOptions", "dominant_eig", "EigOptions",
     "COOOperator", "BCOOOperator", "BellOperator", "random_bell_operator",
     "bell_spmv",
-    "eigh_safe", "svd_safe",
+    "eigh_safe", "svd_safe", "dominant_svd",
 ]

@@ -149,3 +149,19 @@ def test_transfer_gap_and_gradient():
     eps = 1e-4
     num = (f(jnp.float64(b + eps)) - f(jnp.float64(b - eps))) / (2 * eps)
     np.testing.assert_allclose(dlam, num, rtol=1e-2)
+
+
+def test_trg_lanczos_split_matches_full():
+    """TRG with the framework's truncated dominant_svd inside the
+    renormalization (chi < dim splits) reproduces the dense-SVD flow in
+    values and first derivative."""
+    b = 0.45
+    full = trg_free_energy(b, chi=10, n_steps=8)
+    lz = trg_free_energy(b, chi=10, n_steps=8, split_method="lanczos")
+    np.testing.assert_allclose(lz, full, rtol=1e-9)
+
+    gf = jax.grad(lambda bb: trg_free_energy(
+        bb, chi=8, n_steps=6))(jnp.float64(b))
+    gl = jax.grad(lambda bb: trg_free_energy(
+        bb, chi=8, n_steps=6, split_method="lanczos"))(jnp.float64(b))
+    np.testing.assert_allclose(gl, gf, rtol=1e-7)

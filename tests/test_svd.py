@@ -1,0 +1,67 @@
+"""Truncated differentiable SVD (Hermitian-embedding + block Lanczos)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dominantsparseeigenad_tpu import DenseOperator, dominant_svd
+from dominantsparseeigenad_tpu.ops.operators import MatrixFreeOperator
+
+
+def test_values_square():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((40, 40)))
+    u, s, v = dominant_svd(a, r=5, k=80)
+    su, sv, svt = np.linalg.svd(np.asarray(a))
+    np.testing.assert_allclose(s, sv[:5], rtol=1e-9)
+    np.testing.assert_allclose(a @ v, u * s[None, :], atol=1e-7)
+    np.testing.assert_allclose(u.T @ u, np.eye(5), atol=1e-8)
+    np.testing.assert_allclose(v.T @ v, np.eye(5), atol=1e-8)
+
+
+def test_values_rectangular():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal((50, 30)))
+    u, s, v = dominant_svd(a, r=4, k=80)
+    sv = np.linalg.svd(np.asarray(a), compute_uv=False)
+    np.testing.assert_allclose(s, sv[:4], rtol=1e-9)
+    np.testing.assert_allclose(a @ v, u * s[None, :], atol=1e-7)
+
+
+def test_gradients():
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.standard_normal((24, 24)))
+
+    def loss(a):
+        u, s, v = dominant_svd(a, r=3, k=48, tol=1e-12)
+        return jnp.sum(s ** 2) + jnp.sum((u @ v.T) ** 3)
+
+    g = jax.grad(loss)(a)
+    eps = 1e-6
+    for i, j in [(0, 0), (5, 17), (20, 3)]:
+        da = jnp.zeros_like(a).at[i, j].set(eps)
+        num = (loss(a + da) - loss(a - da)) / (2 * eps)
+        np.testing.assert_allclose(g[i, j], num, rtol=5e-4, atol=1e-7)
+
+
+def test_matrix_free_operator_param_gradient():
+    """sigma_max of a parameterized matrix-free operator, d/dtheta."""
+    rng = np.random.default_rng(3)
+    b0 = jnp.asarray(rng.standard_normal((20, 20)))
+    b1 = jnp.asarray(rng.standard_normal((20, 20)))
+
+    def smax(t):
+        op = MatrixFreeOperator(
+            lambda p, x: (b0 + p * b1) @ x, t, dim=20,
+            dtype=jnp.float64, symmetric=False,
+            rmatvec_fn=lambda p, x: (b0 + p * b1).T @ x)
+        _, s, _ = dominant_svd(op, r=1, k=40, tol=1e-12)
+        return s[0]
+
+    t0 = jnp.float64(0.3)
+    val, grad = jax.value_and_grad(smax)(t0)
+    sv = np.linalg.svd(np.asarray(b0 + 0.3 * b1), compute_uv=False)
+    np.testing.assert_allclose(val, sv[0], rtol=1e-10)
+    eps = 1e-6
+    num = (smax(t0 + eps) - smax(t0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(grad, num, rtol=1e-6)
