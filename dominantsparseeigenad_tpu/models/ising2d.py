@@ -89,18 +89,39 @@ def onsager_free_energy(beta, n_quad: int = 64):
 # TRG (Levin–Nave)
 # ---------------------------------------------------------------------------
 
-def _split(m, chi, eps=_EPS, method: str = "full"):
+def _split(m, chi, eps=_EPS, method: str = "gram"):
     """Factor m ≈ F1 @ F2.T keeping the top-chi singular values:
     F1 = U sqrt(s), F2 = V sqrt(s).  After the first coarse-graining the
     plaquette matrices are non-symmetric, so this must be a true SVD (an
     eigendecomposition split silently symmetrizes and biases ln Z).
 
-    ``method="full"`` uses the dense degeneracy-safe SVD;
-    ``method="lanczos"`` uses the framework's truncated
-    :func:`~..ops.svd.dominant_svd` (block Lanczos on the Hermitian
-    embedding) — the package-eigensolver-inside-the-renormalization mode
-    of the reference application, preferable when chi << dim.
+    ``method="gram"`` (default) computes the SVD through the symmetric
+    eigendecomposition of the Gram matrix ``M M^T = U Σ² U^T`` with
+    ``V = M^T U Σ^{-1}`` — ~2x faster than a dense SVD, and the squared
+    spectrum's accuracy loss only touches singular values far below the
+    truncation threshold.  ``method="full"`` uses the dense
+    degeneracy-safe SVD.  ``method="lanczos"`` uses the framework's
+    truncated :func:`~..ops.svd.dominant_svd` (block Lanczos on the
+    Hermitian embedding) — only advantageous when the kept cluster is
+    small AND separated; at TRG's rapidly-decaying spectra the
+    truncation-boundary quasi-degeneracy makes its backward solves
+    expensive, so it is opt-in.
     """
+    if method == "gram":
+        from ..ops.decomp import eigh_safe_truncated
+        w_top, u_top = eigh_safe_truncated(m @ m.T, chi, eps)  # desc s^2
+        w = w_top[::-1]  # for the w_max estimate below
+        # Exact zero modes (rank-deficient early steps) must be masked
+        # with the both-branches-safe where() pattern: sqrt at 0 has an
+        # infinite derivative, and a plain clamp still back-propagates it.
+        w_max = jnp.maximum(w[-1], jnp.finfo(m.dtype).tiny)
+        keep = w_top > w_max * 1e-24
+        wc = jnp.where(keep, w_top, w_max)
+        s = jnp.where(keep, jnp.sqrt(wc), 0.0)
+        sq = jnp.where(keep, jnp.sqrt(jnp.sqrt(wc)), 0.0)
+        v = (m.T @ u_top) / jnp.where(keep, jnp.sqrt(wc), 1.0)[None, :]
+        v = v * keep[None, :]
+        return u_top * sq[None, :], v * sq[None, :]
     # The truncated path needs sigma_chi to be a genuine (nonzero)
     # singular value: with chi == dim the kept set would include the
     # exact zero modes of the rank-deficient early-step matrices, whose
@@ -117,7 +138,7 @@ def _split(m, chi, eps=_EPS, method: str = "full"):
     return u[:, :chi] * sq[None, :], vt[:chi].T * sq[None, :]
 
 
-def trg_step(t, chi, eps=_EPS, method: str = "full"):
+def trg_step(t, chi, eps=_EPS, method: str = "gram"):
     """One Levin–Nave coarse-graining step: 2 plaquette sites -> 1 site.
 
     Even sublattice splits (u,r)|(d,l), odd splits (l,u)|(r,d); the four
@@ -140,7 +161,7 @@ def trg_step(t, chi, eps=_EPS, method: str = "full"):
 
 def trg_free_energy(beta, *, chi: int = 24, n_steps: int = 24,
                     eps: float = _EPS, dtype=jnp.float64,
-                    split_method: str = "full"):
+                    split_method: str = "gram"):
     """ln Z per site of the 2D Ising model via TRG; differentiable in beta.
 
     After ``n_steps`` halvings the residual lattice of N/2^n sites is

@@ -62,6 +62,46 @@ def _eigh_safe_jvp(eps, primals, tangents):
     return (w, v), (dw, dv)
 
 
+@partial(jax.custom_jvp, nondiff_argnums=(1, 2))
+def eigh_safe_truncated(a: jax.Array, r: int, eps: float = 1e-12):
+    """Top-r (largest) eigenpairs of a symmetric matrix with
+    degeneracy-safe derivatives, computed by a full ``eigh`` forward but
+    with tangents evaluated **only for the kept columns** — the tangent
+    matmuls scale as O(n² r) instead of O(n³), which dominates
+    reverse-mode cost when r << n (e.g. truncated renormalization steps).
+
+    Returns ``(w, v)`` with ``w`` (r,) descending and ``v`` (n, r).
+    """
+    w, v = jnp.linalg.eigh((a + a.T.conj()) / 2)
+    return w[::-1][:r], v[:, ::-1][:, :r]
+
+
+@eigh_safe_truncated.defjvp
+def _eigh_safe_truncated_jvp(r, eps, primals, tangents):
+    (a,) = primals
+    (da,) = tangents
+    da = (da + da.T.conj()) / 2
+    # eigh_safe (not raw eigh): second-order AD differentiates THIS rule's
+    # body, so the inner decomposition needs safe derivatives too.
+    w_full, v_full = eigh_safe(a, eps)
+    w = w_full[::-1][:r]
+    v = v_full[:, ::-1][:, :r]
+    da_v = da @ v                               # (n, r)
+    m = v_full.T.conj() @ da_v                  # (n, r): basis coeffs
+    dw = jnp.real(jnp.einsum("ni,ni->i", v.conj(), da_v))
+    # dv_i = sum_{j != i} v_j <v_j, dA v_i> / (lam_i - lam_j), broadened.
+    gap = w[None, :] - w_full[:, None]          # (n, r): lam_i - lam_j
+    f = gap / (gap * gap + eps * eps)
+    # Zero out the self terms: kept column i corresponds to full index
+    # n-1-i after the descending reorder.
+    n = w_full.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, r), 1)
+    f = jnp.where(rows == n - 1 - cols, 0.0, f)
+    dv = v_full @ (f * m)
+    return (w, v), (dw, dv)
+
+
 @partial(jax.custom_jvp, nondiff_argnums=(1,))
 def svd_safe(a: jax.Array, eps: float = 1e-12):
     """SVD of a *square* matrix with degeneracy-safe derivatives.
