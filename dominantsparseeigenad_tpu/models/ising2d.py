@@ -203,7 +203,8 @@ def ctmrg_environment(beta, *, chi: int = 32, n_steps: int = 40,
     #               (the same tensor serves every side by symmetry).
     c = jnp.einsum("urdl->dr", t)
     e = jnp.einsum("urdl->ldr", t)
-    for _ in range(n_steps):
+
+    def step(c, e):
         chi_c = c.shape[0]
         chi_eff = min(chi, chi_c * d)
         # Absorb one row+column into the corner:
@@ -216,12 +217,28 @@ def ctmrg_environment(beta, *, chi: int = 32, n_steps: int = 40,
         wk = w[order]
         p = v[:, order]                      # isometry ((chi*d), chi_eff)
         scale = jnp.max(jnp.abs(wk))
-        c = jnp.diag(wk / scale)
+        c_new = jnp.diag(wk / scale)
         # Renormalize edge: E'[k, d, k'] =
         #   sum P[(a,l),k] E[a,u,b] T[u,r,d,l] P[(b,r),k']
         p3 = p.reshape(chi_c, d, chi_eff)
         ep = jnp.einsum("alk,aub,urdl,brq->kdq", p3, e, t, p3)
-        e = ep / jnp.max(jnp.abs(ep))
+        return c_new, ep / jnp.max(jnp.abs(ep))
+
+    # Growth phase: the environment dimension changes shape every step
+    # until it saturates at chi, so these steps are Python-unrolled (each
+    # compiles once); the remaining fixed-shape steps run as one
+    # lax.scan body — O(1) compile regardless of n_steps.
+    used = 0
+    while used < n_steps and c.shape[0] < chi:
+        c, e = step(c, e)
+        used += 1
+
+    if used < n_steps:
+        def scan_body(carry, _):
+            return step(*carry), None
+
+        (c, e), _ = jax.lax.scan(scan_body, (c, e), None,
+                                 length=n_steps - used)
     return c, e, t
 
 

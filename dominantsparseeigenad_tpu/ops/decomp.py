@@ -42,7 +42,8 @@ def eigh_safe(a: jax.Array, eps: float = 1e-12):
     gap ``|λi - λj| >> eps`` gives the exact derivative; gaps ``<< eps``
     (true multiplets) contribute ~0 instead of NaN.
     """
-    return jnp.linalg.eigh((a + a.T.conj()) / 2)
+    w, v = jnp.linalg.eigh((a + a.T.conj()) / 2)
+    return w, v  # plain tuple: the JVP rule's output structure must match
 
 
 @eigh_safe.defjvp
@@ -117,7 +118,8 @@ def svd_safe(a: jax.Array, eps: float = 1e-12):
     """
     if a.shape[0] != a.shape[1]:
         raise ValueError("svd_safe expects a square matrix")
-    return jnp.linalg.svd(a, full_matrices=False)
+    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    return u, s, vt  # plain tuple to match the JVP rule's structure
 
 
 @svd_safe.defjvp
