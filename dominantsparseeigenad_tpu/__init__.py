@@ -42,6 +42,8 @@ from .ops import (
     eigh_safe,
     svd_safe,
     dominant_svd,
+    lanczos_restarted,
+    RestartState,
 )
 
 __version__ = "0.1.0"

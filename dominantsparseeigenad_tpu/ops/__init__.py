@@ -18,6 +18,7 @@ from .sparse import (COOOperator, BCOOOperator, BellOperator,
 from .pallas_spmv import bell_spmv
 from .decomp import eigh_safe, svd_safe
 from .svd import dominant_svd
+from .restart import lanczos_restarted, RestartState
 
 __all__ = [
     "LinearOperator", "DenseOperator", "MatrixFreeOperator",
@@ -31,4 +32,5 @@ __all__ = [
     "COOOperator", "BCOOOperator", "BellOperator", "random_bell_operator",
     "bell_spmv",
     "eigh_safe", "svd_safe", "dominant_svd",
+    "lanczos_restarted", "RestartState",
 ]

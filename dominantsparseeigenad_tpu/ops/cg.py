@@ -33,10 +33,11 @@ from .operators import LinearOperator, as_operator
 
 
 def _project_out(V: jax.Array, x: jax.Array) -> jax.Array:
-    """x - V (V^T x); V is (N,) or (N, r) with orthonormal columns."""
+    """x - V <V, x>; V is (N,) or (N, r) with orthonormal columns
+    (conjugating inner products, so complex Hermitian operators work)."""
     if V.ndim == 1:
         return x - V * jnp.vdot(V, x)
-    return x - V @ (V.T @ x)
+    return x - V @ (V.conj().T @ x)
 
 
 def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
@@ -114,7 +115,9 @@ def minres(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
         y = matvec(v)
         y = y - jnp.where(it >= 1, beta / jnp.where(oldb == 0, 1.0, oldb),
                           0.0) * r1
-        alfa = jnp.vdot(v, y)
+        # <v, A v> is real for symmetric/Hermitian operators; keep the
+        # rotation state real so the carry dtypes stay stable.
+        alfa = jnp.real(jnp.vdot(v, y))
         y = y - (alfa / beta) * r2
         r1, r2 = r2, y
         oldb, beta_new = beta, jnp.linalg.norm(y)
@@ -141,14 +144,33 @@ def minres(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
     return out[0]
 
 
+def _hermitian_linear_solve(matvec: Callable, b: jax.Array,
+                            solver: Callable) -> jax.Array:
+    """``custom_linear_solve`` for a Hermitian ``matvec``.
+
+    Real dtypes use ``symmetric=True``.  Complex Hermitian operators have
+    ``A^T = conj(A) != A``, so the transpose solves JAX issues for reverse
+    -mode/higher-order AD need the identity
+    ``A^T x = b  <=>  x = conj(A^{-1} conj(b))`` supplied explicitly —
+    with ``symmetric=True`` the second derivative would be silently wrong.
+    """
+    if jnp.iscomplexobj(b):
+        return lax.custom_linear_solve(
+            matvec, b,
+            solve=lambda mv, rhs: solver(matvec, rhs),
+            transpose_solve=lambda mv, rhs: jnp.conj(
+                solver(matvec, jnp.conj(rhs))))
+    return lax.custom_linear_solve(
+        matvec, b, solve=lambda mv, rhs: solver(mv, rhs), symmetric=True)
+
+
 def solve_symmetric(matvec: Callable, b: jax.Array, *, tol: float = 1e-7,
                     maxiter: int | None = None) -> jax.Array:
     """Differentiable symmetric-indefinite solve: MINRES wrapped in
     ``custom_linear_solve`` (same arbitrary-order machinery as
     :func:`solve_spd`)."""
     solver = partial(minres, tol=tol, maxiter=maxiter)
-    return lax.custom_linear_solve(
-        matvec, b, solve=lambda mv, rhs: solver(mv, rhs), symmetric=True)
+    return _hermitian_linear_solve(matvec, b, lambda mv, rhs: solver(mv, rhs))
 
 
 def solve_spd(matvec: Callable, b: jax.Array, *, tol: float = 1e-7,
@@ -160,8 +182,7 @@ def solve_spd(matvec: Callable, b: jax.Array, *, tol: float = 1e-7,
     ``custom_linear_solve``'s built-in JVP — to arbitrary order.
     """
     solver = partial(cg, tol=tol, maxiter=maxiter)
-    return lax.custom_linear_solve(
-        matvec, b, solve=lambda mv, rhs: solver(mv, rhs), symmetric=True)
+    return _hermitian_linear_solve(matvec, b, lambda mv, rhs: solver(mv, rhs))
 
 
 def solve_deflated(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
@@ -213,8 +234,7 @@ def solve_deflated(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
         return _project_out(V, inner(mv, r, tol=tol, maxiter=maxiter))
 
     rhs = sign * _project_out(V, b)
-    x = lax.custom_linear_solve(deflated_mv, rhs, solve=solver,
-                                symmetric=True)
+    x = _hermitian_linear_solve(deflated_mv, rhs, solver)
     # Keep x exactly in V⊥ (CG preserves it in exact arithmetic; re-project
     # to stop round-off leaking a span(V) component into downstream grads).
     return _project_out(V, x)

@@ -68,6 +68,10 @@ def _pair_jvp(op, dop, lam, v, sign, opts):
     """IFT tangents (dλ, dv) of one eigenpair for operator tangent ``dop``."""
     _, dAv = jax.jvp(lambda o: o.matvec(v), (op,), (dop,))
     dlam = jnp.vdot(v, dAv)
+    if jnp.iscomplexobj(dlam) and not jnp.iscomplexobj(lam):
+        # Hermitian operator: <v, dA v> is real; the eigenvalue primal is
+        # real (from the real tridiagonal), so the tangent must be too.
+        dlam = jnp.real(dlam)
     rhs = -(dAv - dlam * v)  # = -(I - vv^T) dA v
     dv = solve_deflated(op, lam, v, rhs, definite_sign=sign,
                         tol=opts.tol, maxiter=opts.maxiter)
@@ -141,8 +145,10 @@ def _dominant_eigh_multi_jvp(extreme, opts, primals, tangents):
     lams, v = _dominant_eigh_multi(op, extreme, opts)
 
     _, dav = jax.jvp(lambda o: o.matmat(v), (op,), (dop,))
-    m = v.T @ dav                              # (r, r): V^T dA V
+    m = v.conj().T @ dav                       # (r, r): <V, dA V>
     dlams = jnp.diagonal(m)
+    if jnp.iscomplexobj(dlams) and not jnp.iscomplexobj(lams):
+        dlams = jnp.real(dlams)
 
     # In-block eigenvector rotations: same Lorentzian-broadened gap
     # inverses as ops.decomp.eigh_safe — finite on multiplets, exact for

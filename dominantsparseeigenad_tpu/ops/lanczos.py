@@ -76,6 +76,7 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
     """
     op = as_operator(op)
     n, dtype = op.dim, op.dtype
+    real_dtype = jnp.finfo(dtype).dtype  # f64 for c128, f32 for c64
     if key is None:
         key = jax.random.PRNGKey(0)
     k = int(k)
@@ -105,7 +106,9 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
 
         with jax.named_scope("lanczos_matvec"):
             w = op.matvec(q)
-        alpha = jnp.vdot(q, w)
+        # <q, A q> is real for Hermitian A; taking the real part keeps the
+        # tridiagonal T real for complex operators too.
+        alpha = jnp.real(jnp.vdot(q, w)).astype(real_dtype)
         w = w - alpha * q - beta_prev * q_prev
         if reorthogonalize:
             # Unwritten rows of `basis` are zero, so a single masked
@@ -113,8 +116,8 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
             # MXU matmuls instead of a python loop over vectors.
             with jax.named_scope("lanczos_reorth"):
                 for _ in range(reorth_passes):  # 2 = "twice is enough"
-                    w = w - basis.T @ (basis @ w)
-        beta = jnp.linalg.norm(w)
+                    w = w - basis.T @ (basis.conj() @ w)
+        beta = jnp.linalg.norm(w).astype(real_dtype)
 
         # Breakdown: restart with a fresh vector orthogonal to the basis.
         scale = jnp.sqrt(jnp.abs(alpha) ** 2 + beta_prev ** 2) + 1.0
@@ -123,7 +126,7 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
         def restart(_):
             r = jax.random.normal(jax.random.fold_in(key, i), (n,),
                                   dtype=dtype)
-            r = r - basis.T @ (basis @ r)
+            r = r - basis.T @ (basis.conj() @ r)
             return r / (jnp.linalg.norm(r) + jnp.finfo(dtype).tiny)
 
         def advance(_):
@@ -137,7 +140,7 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
 
     (basis, _, _, _), (alphas, betas) = lax.scan(
         step,
-        (basis0, q0, jnp.zeros_like(q0), jnp.zeros((), dtype=dtype)),
+        (basis0, q0, jnp.zeros_like(q0), jnp.zeros((), dtype=real_dtype)),
         jnp.arange(k),
     )
     return LanczosResult(alphas=alphas, betas=betas[:-1] if k > 1
@@ -171,12 +174,13 @@ def lanczos_eigh(op, k: int, *, extreme: str = "both",
 
     def _pair(idx):
         lam = evals[idx]
-        v = res.basis @ evecs[:, idx]
+        v = res.basis @ evecs[:, idx].astype(res.basis.dtype)
         v = v / jnp.linalg.norm(v)
-        # Sign gauge: make the largest-magnitude entry positive, so the
-        # result is deterministic across runs/backends.
+        # Phase/sign gauge: make the largest-magnitude entry real positive
+        # (deterministic across runs/backends; for real dtypes this is the
+        # usual sign flip).
         pivot = v[jnp.argmax(jnp.abs(v))]
-        return lam, v * jnp.sign(pivot)
+        return lam, v * jnp.conj(jnp.sign(pivot))
 
     if extreme == "min":
         return _pair(0)

@@ -284,7 +284,7 @@ class DeflatedOperator(LinearOperator):
 
     def _project(self, x):
         V = self.V if self.V.ndim == 2 else self.V[:, None]
-        return x - V @ (V.T @ x)
+        return x - V @ (V.conj().T @ x)
 
     def matvec(self, x):
         return self._project(self.op.matvec(self._project(x)))

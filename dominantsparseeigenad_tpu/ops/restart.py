@@ -1,0 +1,170 @@
+"""Thick-restart Lanczos (TRLan, Wu & Simon) — bounded-memory eigensolving.
+
+The plain k-step Lanczos of ``ops.lanczos`` stores a (k, N) basis; for
+huge Hilbert spaces (sharded 2^N vectors) and hard spectra that is the
+memory ceiling.  Thick restart keeps only an (k_window+1, N) window: after
+each cycle the best ``l`` Ritz vectors are retained ("thickened") together
+with the next Lanczos vector, the projected matrix restarts as an
+arrowhead (diag(theta) bordered by the residual couplings s_i), and the
+iteration continues — converging to the extremal eigenpairs with O(window)
+memory.
+
+No reference analogue (the reference's Lanczos is single-shot); this is
+the production-scale forward engine, and its per-cycle state
+``RestartState`` is an ordinary pytree — checkpoint it with
+``utils.checkpoint`` and resume deterministically.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .operators import as_operator
+
+
+class RestartState(NamedTuple):
+    """Pytree state between thick-restart cycles (checkpointable).
+
+    theta : (l,)    retained Ritz values
+    y     : (l, N)  retained Ritz vectors (rows)
+    s     : (l,)    residual couplings beta_k * (last eigvec components)
+    q     : (N,)    next Lanczos vector
+    """
+
+    theta: jax.Array
+    y: jax.Array
+    s: jax.Array
+    q: jax.Array
+
+
+def _cycle(op, state: RestartState, k: int, extreme: str,
+           reorth_passes: int):
+    """One thick-restart cycle: continue Lanczos from the arrowhead."""
+    l = state.theta.shape[0]
+    n, dtype = op.dim, state.q.dtype
+    real_dtype = jnp.finfo(dtype).dtype
+
+    basis = jnp.zeros((k + 1, n), dtype=dtype)
+    basis = basis.at[:l].set(state.y).at[l].set(state.q)
+
+    t = jnp.zeros((k, k), dtype=real_dtype)
+    t = t.at[jnp.arange(l), jnp.arange(l)].set(state.theta)
+    t = t.at[l, :l].set(state.s).at[:l, l].set(state.s)
+
+    # Step l (arrowhead column): w = A q - sum_i s_i y_i - alpha q.
+    w = op.matvec(state.q)
+    alpha = jnp.real(jnp.vdot(state.q, w)).astype(real_dtype)
+    w = w - alpha * state.q - state.s.astype(dtype) @ state.y
+    for _ in range(reorth_passes):
+        w = w - basis.T @ (basis.conj() @ w)
+    beta = jnp.linalg.norm(w).astype(real_dtype)
+    q_next = w / jnp.where(beta > 0, beta, 1.0)
+    t = t.at[l, l].set(alpha)
+    if l + 1 < k:
+        t = t.at[l + 1, l].set(beta).at[l, l + 1].set(beta)
+    basis = basis.at[l + 1].set(q_next)
+
+    # Steps l+1 .. k-1: plain tridiagonal recurrence with full reorth.
+    def step(carry, j):
+        basis, t, q, q_prev, beta_prev = carry
+        w = op.matvec(q)
+        a = jnp.real(jnp.vdot(q, w)).astype(real_dtype)
+        w = w - a * q - beta_prev * q_prev
+        for _ in range(reorth_passes):
+            w = w - basis.T @ (basis.conj() @ w)
+        b = jnp.linalg.norm(w).astype(real_dtype)
+        qn = w / jnp.where(b > 0, b, 1.0)
+        t = t.at[j, j].set(a)
+        t = lax.cond(
+            j + 1 < k,
+            lambda t: t.at[j + 1, j].set(b).at[j, j + 1].set(b),
+            lambda t: t, t)
+        basis = lax.cond(
+            j + 1 <= k,
+            lambda bs: bs.at[j + 1].set(qn),
+            lambda bs: bs, basis)
+        return (basis, t, qn, q, b), b
+
+    (basis, t, _, _, beta_last), _ = lax.scan(
+        step, (basis, t, q_next, state.q, beta), jnp.arange(l + 1, k))
+
+    evals, evecs = jnp.linalg.eigh(t)
+    order = (jnp.arange(l + 1) if extreme == "min"
+             else k - 1 - jnp.arange(l + 1))
+    theta = evals[order]
+    sel = evecs[:, order]                                     # (k, l+1)
+    y = (basis[:k].T @ sel.astype(dtype)).T                   # (l+1, N)
+    s = (beta_last * sel[k - 1, :]).astype(real_dtype)
+    return RestartState(theta=theta, y=y, s=s, q=basis[k])
+
+
+def lanczos_restarted(op, k: int = 64, *, n_restarts: int = 8,
+                      num_kept: int | None = None, extreme: str = "min",
+                      v0=None, key=None, reorth_passes: int = 2):
+    """Extremal eigenpair via thick-restart Lanczos with an (k+1, N)-window.
+
+    Parameters
+    ----------
+    op         : symmetric/Hermitian LinearOperator (or dense matrix).
+    k          : Lanczos window size per cycle.
+    n_restarts : number of restart cycles after the initial one.
+    num_kept   : Ritz vectors retained per restart (default k//4; the
+                 retained count grows by one internally for the residual
+                 coupling).
+    extreme    : "min" or "max".
+
+    Returns ``(lam, v, residual)``: the converged extremal Ritz pair and
+    its residual norm estimate ``|s_0|``.
+    """
+    from .lanczos import lanczos  # cycle 0 = plain run
+
+    op = as_operator(op)
+    if extreme not in ("min", "max"):
+        raise ValueError(f"extreme must be min|max, got {extreme!r}")
+    n, dtype = op.dim, op.dtype
+    k = int(min(k, n))
+    l = int(k // 4 if num_kept is None else num_kept)
+    if l + 2 > k:
+        raise ValueError(f"need k >= num_kept + 2, got k={k}, l={l}")
+
+    res = lanczos(op, k, v0=v0, key=key, reorth_passes=reorth_passes)
+    t = jnp.diag(res.alphas)
+    if res.betas.shape[0]:
+        t = t + jnp.diag(res.betas, 1) + jnp.diag(res.betas, -1)
+    evals, evecs = jnp.linalg.eigh(t)
+    order = (jnp.arange(l) if extreme == "min" else k - 1 - jnp.arange(l))
+    theta = evals[order]
+    sel = evecs[:, order]
+    y = (res.basis @ sel.astype(dtype)).T
+    # The restart couplings s_i = beta_k <e_k, y_i> refer to the TRUE
+    # continuation vector q_{k+1} of the Lanczos recurrence — reconstruct
+    # it with one extra matvec (LanczosResult keeps only k vectors):
+    #   w = A q_k - alpha_k q_k - beta_{k-1} q_{k-1};  q_{k+1} = w/||w||.
+    qk = res.basis[:, -1]
+    w = op.matvec(qk) - (res.alphas[-1] * qk).astype(dtype)
+    if res.betas.shape[0]:
+        w = w - res.betas[-1] * res.basis[:, -2]
+    w = w - res.basis @ (res.basis.conj().T @ w)
+    w = w - res.basis @ (res.basis.conj().T @ w)
+    beta_last = jnp.linalg.norm(w).astype(jnp.finfo(dtype).dtype)
+    q = w / jnp.where(beta_last > 0, beta_last, 1.0)
+    s = beta_last * sel[k - 1, :]
+    state = RestartState(theta=theta, y=y, s=jnp.real(s), q=q)
+
+    def body(state, _):
+        new = _cycle(op, state, k, extreme, reorth_passes)
+        trimmed = RestartState(theta=new.theta[:l], y=new.y[:l],
+                               s=new.s[:l], q=new.q)
+        return trimmed, new.s[0]
+
+    state, residuals = lax.scan(body, state, None, length=n_restarts)
+    lam = state.theta[0]
+    v = state.y[0]
+    v = v / jnp.linalg.norm(v)
+    pivot = v[jnp.argmax(jnp.abs(v))]
+    v = v * jnp.conj(jnp.sign(pivot))
+    return lam, v, jnp.abs(state.s[0])

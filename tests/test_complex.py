@@ -1,0 +1,120 @@
+"""Complex Hermitian operator support — an extension over the real-only
+reference: forward Lanczos, deflated solves, and IFT derivatives to second
+order, with the conjugate-aware transpose solves (A^T = conj(A)).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dominantsparseeigenad_tpu import (
+    DenseOperator, MatrixFreeOperator, cg, dominant_eigh,
+    dominant_eigh_multi, lanczos_eigh, minres, solve_deflated)
+
+
+def _herm(n, seed):
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    return jnp.asarray((b + b.conj().T) / 2)
+
+
+def test_complex_lanczos_forward():
+    n = 48
+    h = _herm(n, 0)
+    lam, v = lanczos_eigh(DenseOperator(h), k=n, extreme="min")
+    evals = np.linalg.eigvalsh(np.asarray(h))
+    np.testing.assert_allclose(jnp.real(lam), evals[0], rtol=1e-12)
+    res = np.asarray(h @ v - lam * v)
+    assert np.linalg.norm(res) < 1e-10
+    # Phase gauge: pivot entry real positive.
+    pivot = np.asarray(v)[np.argmax(np.abs(np.asarray(v)))]
+    assert abs(pivot.imag) < 1e-12 and pivot.real > 0
+
+
+def test_complex_solves():
+    n = 40
+    h = _herm(n, 1)
+    spd = h @ h.conj().T + n * jnp.eye(n)
+    b = jnp.asarray(np.random.default_rng(2).standard_normal(n)
+                    + 1j * np.random.default_rng(3).standard_normal(n))
+    x = cg(lambda v: spd @ v, b, tol=1e-12)
+    assert float(jnp.linalg.norm(spd @ x - b)) < 1e-8
+    x2 = minres(lambda v: h @ v, b, tol=1e-12, maxiter=400)
+    assert float(jnp.linalg.norm(h @ x2 - b)) < 1e-7
+
+
+def test_complex_first_and_second_derivatives():
+    n = 36
+    h0, h1 = _herm(n, 4), _herm(n, 5)
+
+    def e0(g):
+        op = MatrixFreeOperator(lambda gg, x: h0 @ x + gg * (h1 @ x),
+                                g, dim=n, dtype=h0.dtype)
+        lam, _ = dominant_eigh(op, k=n, extreme="min", tol=1e-12)
+        return lam
+
+    g0 = jnp.float64(0.3)
+    grad = jax.grad(e0)(g0)
+    d2 = jax.grad(jax.grad(e0))(g0)
+
+    evals, evecs = np.linalg.eigh(np.asarray(h0 + 0.3 * h1))
+    v0 = evecs[:, 0]
+    de_exact = np.real(v0.conj() @ (np.asarray(h1) @ v0))
+    me = evecs[:, 1:].conj().T @ (np.asarray(h1) @ v0)
+    d2_exact = 2 * np.sum(np.abs(me) ** 2 / (evals[0] - evals[1:]))
+    np.testing.assert_allclose(grad, de_exact, rtol=1e-9)
+    np.testing.assert_allclose(d2, d2_exact, rtol=1e-7)
+
+
+def test_complex_eigenvector_gradient():
+    """Gradient of an eigenvector functional |<w, v>|^2 — exercises the
+    deflated-solve transpose (the conj-aware path) in reverse mode."""
+    n = 30
+    h0, h1 = _herm(n, 6), _herm(n, 7)
+    w = jnp.asarray(np.random.default_rng(8).standard_normal(n)
+                    + 1j * np.random.default_rng(9).standard_normal(n))
+
+    def overlap(g):
+        op = MatrixFreeOperator(lambda gg, x: h0 @ x + gg * (h1 @ x),
+                                g, dim=n, dtype=h0.dtype)
+        _, v = dominant_eigh(op, k=n, extreme="min", tol=1e-12)
+        return jnp.abs(jnp.vdot(w, v)) ** 2
+
+    g0 = jnp.float64(0.2)
+    grad = jax.grad(overlap)(g0)
+    eps = 1e-6
+    num = (overlap(g0 + eps) - overlap(g0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(grad, num, rtol=1e-5)
+
+
+def test_complex_multi():
+    n, r = 40, 4
+    h = _herm(n, 10)
+    lams, v = dominant_eigh_multi(DenseOperator(h), r=r, k=n)
+    evals = np.linalg.eigvalsh(np.asarray(h))
+    np.testing.assert_allclose(lams, evals[:r], rtol=1e-10)
+    gram = np.asarray(v.conj().T @ v)
+    np.testing.assert_allclose(gram, np.eye(r), atol=1e-8)
+
+    def loss(g):
+        op = MatrixFreeOperator(lambda gg, x: h @ x + gg * x,
+                                g, dim=n, dtype=h.dtype)
+        lams, _ = dominant_eigh_multi(op, r=r, k=n)
+        return jnp.sum(lams)
+
+    grad = jax.grad(loss)(jnp.float64(0.0))
+    np.testing.assert_allclose(grad, float(r), rtol=1e-10)  # shift by g*I
+
+
+def test_complex_deflated_solve():
+    n = 32
+    h = _herm(n, 11)
+    evals, evecs = np.linalg.eigh(np.asarray(h))
+    lam, v = jnp.asarray(evals[0]), jnp.asarray(evecs[:, 0])
+    b = jnp.asarray(np.random.default_rng(12).standard_normal(n)
+                    + 1j * np.random.default_rng(13).standard_normal(n))
+    x = solve_deflated(DenseOperator(h), lam, v, b, tol=1e-12)
+    pb = b - v * jnp.vdot(v, b)
+    res = (h @ x - lam * x) - pb
+    assert float(jnp.linalg.norm(res)) < 1e-8
+    assert abs(complex(jnp.vdot(v, x))) < 1e-10
