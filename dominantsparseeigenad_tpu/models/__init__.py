@@ -9,6 +9,11 @@ from .ising2d import (
     transfer_spectral_gap,
     ising_observables,
 )
+from .heisenberg import (
+    heisenberg_operator,
+    heisenberg_dense,
+    heisenberg_ground_energy,
+)
 from .tfim import (
     tfim_operator,
     tfim_matvec,
@@ -30,4 +35,5 @@ __all__ = [
     "ising_vertex_tensor", "onsager_free_energy", "trg_free_energy",
     "trg_step", "ctmrg_environment", "ctmrg_free_energy",
     "transfer_operator", "transfer_spectral_gap", "ising_observables",
+    "heisenberg_operator", "heisenberg_dense", "heisenberg_ground_energy",
 ]
