@@ -17,6 +17,9 @@ from .ops import (
     TransposedOperator,
     ShiftedOperator,
     DeflatedOperator,
+    SumOperator,
+    ScaledOperator,
+    ComposedOperator,
     as_operator,
     lanczos,
     lanczos_eigh,
@@ -43,6 +46,7 @@ from .ops import (
     svd_safe,
     dominant_svd,
     lanczos_restarted,
+    interior_eigh,
     RestartState,
 )
 

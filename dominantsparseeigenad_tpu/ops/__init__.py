@@ -5,6 +5,9 @@ from .operators import (
     TransposedOperator,
     ShiftedOperator,
     DeflatedOperator,
+    SumOperator,
+    ScaledOperator,
+    ComposedOperator,
     as_operator,
 )
 from .lanczos import lanczos, lanczos_eigh, power_iteration, LanczosResult
@@ -19,10 +22,12 @@ from .pallas_spmv import bell_spmv
 from .decomp import eigh_safe, svd_safe
 from .svd import dominant_svd
 from .restart import lanczos_restarted, RestartState
+from .interior import interior_eigh
 
 __all__ = [
     "LinearOperator", "DenseOperator", "MatrixFreeOperator",
     "TransposedOperator", "ShiftedOperator", "DeflatedOperator",
+    "SumOperator", "ScaledOperator", "ComposedOperator",
     "as_operator",
     "lanczos", "lanczos_eigh", "power_iteration", "LanczosResult",
     "cg", "minres", "solve_spd", "solve_symmetric", "solve_deflated",
@@ -32,5 +37,5 @@ __all__ = [
     "COOOperator", "BCOOOperator", "BellOperator", "random_bell_operator",
     "bell_spmv",
     "eigh_safe", "svd_safe", "dominant_svd",
-    "lanczos_restarted", "RestartState",
+    "lanczos_restarted", "RestartState", "interior_eigh",
 ]

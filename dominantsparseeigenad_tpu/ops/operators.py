@@ -77,6 +77,8 @@ class LinearOperator:
         return self.matmat(jnp.eye(self.dim, dtype=self.dtype))
 
     def __matmul__(self, x):
+        if isinstance(x, LinearOperator):
+            return ComposedOperator(self, x)
         if x.ndim == 1:
             return self.matvec(x)
         return self.matmat(x)
@@ -85,6 +87,25 @@ class LinearOperator:
     @property
     def T(self) -> "TransposedOperator":
         return TransposedOperator(self)
+
+    # -- operator algebra (scipy.sparse.linalg-style conveniences) ----------
+    def __add__(self, other):
+        if isinstance(other, LinearOperator):
+            return SumOperator(self, other)
+        return NotImplemented
+
+    def __mul__(self, scalar):
+        return ScaledOperator(self, scalar)
+
+    __rmul__ = __mul__
+
+    def __sub__(self, other):
+        if isinstance(other, LinearOperator):
+            return SumOperator(self, ScaledOperator(other, -1.0))
+        return NotImplemented
+
+    def __neg__(self):
+        return ScaledOperator(self, -1.0)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -302,6 +323,96 @@ class DeflatedOperator(LinearOperator):
 
     def tree_flatten(self):
         return (self.op, self.V), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SumOperator(LinearOperator):
+    """``A + B`` of two conforming operators (lazy)."""
+
+    a: LinearOperator
+    b: LinearOperator
+
+    def matvec(self, x):
+        return self.a.matvec(x) + self.b.matvec(x)
+
+    def rmatvec(self, x):
+        return self.a.rmatvec(x) + self.b.rmatvec(x)
+
+    @property
+    def dim(self):
+        return self.a.dim
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+    def tree_flatten(self):
+        return (self.a, self.b), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ScaledOperator(LinearOperator):
+    """``c * A`` with a (possibly traced, differentiable) scalar ``c``."""
+
+    op: LinearOperator
+    c: Any
+
+    def matvec(self, x):
+        return self.c * self.op.matvec(x)
+
+    def rmatvec(self, x):
+        return self.c * self.op.rmatvec(x)
+
+    @property
+    def dim(self):
+        return self.op.dim
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+    def tree_flatten(self):
+        return (self.op, self.c), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ComposedOperator(LinearOperator):
+    """``A @ B`` composition (lazy)."""
+
+    a: LinearOperator
+    b: LinearOperator
+
+    def matvec(self, x):
+        return self.a.matvec(self.b.matvec(x))
+
+    def rmatvec(self, x):
+        return self.b.rmatvec(self.a.rmatvec(x))
+
+    @property
+    def dim(self):
+        return self.a.dim
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+    def tree_flatten(self):
+        return (self.a, self.b), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

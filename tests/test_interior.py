@@ -1,0 +1,72 @@
+"""Interior eigenpairs via shift-invert (beyond the extremal-only
+reference API): values, residuals, first and second derivatives."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dominantsparseeigenad_tpu import (
+    DenseOperator, MatrixFreeOperator, SumOperator, ScaledOperator,
+    ComposedOperator, interior_eigh)
+
+
+def _sym(n, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n))
+    return jnp.asarray((a + a.T) / 2)
+
+
+def test_interior_value_and_residual():
+    n = 64
+    a = _sym(n, 1)
+    evals = np.linalg.eigvalsh(np.asarray(a))
+    sigma = float((evals[30] + evals[31]) / 2 + 0.013)
+    target = evals[np.argmin(np.abs(evals - sigma))]
+    lam, v = interior_eigh(DenseOperator(a), sigma, k=40)
+    np.testing.assert_allclose(lam, target, rtol=1e-11)
+    assert float(jnp.linalg.norm(a @ v - lam * v)) < 1e-9
+
+
+def test_interior_derivatives():
+    n = 40
+    h0, h1 = _sym(n, 2), _sym(n, 3)
+    evals = np.linalg.eigvalsh(np.asarray(h0))
+    sigma = float(evals[n // 2] + 0.005)
+
+    def lam_of_g(g):
+        op = MatrixFreeOperator(lambda gg, x: h0 @ x + gg * (h1 @ x),
+                                g, dim=n, dtype=h0.dtype)
+        l, _ = interior_eigh(op, sigma, k=36, tol=1e-11)
+        return l
+
+    g0 = jnp.float64(0.0)
+    val, grad = jax.value_and_grad(lam_of_g)(g0)
+    evs, evc = np.linalg.eigh(np.asarray(h0))
+    i = np.argmin(np.abs(evs - sigma))
+    v0 = evc[:, i]
+    np.testing.assert_allclose(val, evs[i], rtol=1e-10)
+    np.testing.assert_allclose(grad, v0 @ (np.asarray(h1) @ v0),
+                               rtol=1e-8)
+
+    # second derivative vs sum-over-states around the interior level
+    d2 = jax.grad(jax.grad(lam_of_g))(g0)
+    me = np.delete(evc, i, axis=1).T @ (np.asarray(h1) @ v0)
+    gaps = evs[i] - np.delete(evs, i)
+    d2_exact = 2 * np.sum(me ** 2 / gaps)
+    np.testing.assert_allclose(d2, d2_exact, rtol=1e-6)
+
+
+def test_operator_algebra_through_eigensolver():
+    from dominantsparseeigenad_tpu import dominant_eigh
+    n = 32
+    a, b = _sym(n, 4), _sym(n, 5)
+    op = DenseOperator(a) + 0.5 * DenseOperator(b)
+    lam, _ = dominant_eigh(op, k=n, extreme="max")
+    evals = np.linalg.eigvalsh(np.asarray(a + 0.5 * b))
+    np.testing.assert_allclose(lam, evals[-1], rtol=1e-10)
+
+    comp = DenseOperator(a) @ DenseOperator(a)  # A^2: eigs squared
+    lam2, _ = dominant_eigh(comp, k=n, extreme="max")
+    evs = np.linalg.eigvalsh(np.asarray(a))
+    np.testing.assert_allclose(lam2, max(evs[0]**2, evs[-1]**2),
+                               rtol=1e-9)
