@@ -70,22 +70,26 @@ def bench_jax():
         (lam, v), (dlam, dv) = jax.jvp(
             ground, (g,), (jnp.ones((), dtype),))
         chi = jnp.vdot(dv, dv)
-        return lam, dlam, chi
+        # One stacked output = ONE device->host transfer when timed (each
+        # separate scalar extraction pays a full tunnel round-trip).
+        return jnp.stack([lam, dlam, chi])
+
+    import numpy as np
 
     f = jax.jit(observables)
     # Warmup + queue drain.  NOTE: on the tunneled TPU platform
     # `block_until_ready` can return while work is still queued remotely;
-    # only a device->host transfer (float()) truly synchronizes, so all
-    # timings below include extracting the scalar results.
-    out = tuple(float(x) for x in f(jnp.asarray(G, dtype)))
+    # only a device->host transfer truly synchronizes, so all timings
+    # below include pulling the (stacked) scalar results to the host.
+    out = np.asarray(f(jnp.asarray(G, dtype)))
 
     times = []
     for i in range(REPEATS):
         g = jnp.asarray(G + i * 1e-6, dtype)  # fresh input each repeat
         t0 = time.perf_counter()
-        out = tuple(float(x) for x in f(g))
+        out = np.asarray(f(g))
         times.append(time.perf_counter() - t0)
-    lam, dlam, chi = out
+    lam, dlam, chi = (float(x) for x in out)
     return min(times), lam, dlam, chi
 
 
@@ -217,7 +221,7 @@ def exact_reference():
     return e0(G), de0
 
 
-def wait_for_device(max_tries: int = 6, probe_timeout: int = 120) -> None:
+def wait_for_device(max_tries: int = 4, probe_timeout: int = 90) -> None:
     """The tunneled TPU service occasionally wedges for minutes after a
     heavy job (see utils.timing docs); probe it in a subprocess with a
     timeout and back off until it answers, so a driver-run bench doesn't
@@ -238,7 +242,7 @@ def wait_for_device(max_tries: int = 6, probe_timeout: int = 120) -> None:
             time.sleep(60)
 
 
-def run_jax_staged(max_tries: int = 4, stage_timeout: int = 1200):
+def run_jax_staged(max_tries: int = 3, stage_timeout: int = 600):
     """Run bench_jax in a subprocess with a hard timeout, retrying after
     back-off — a wedged remote device then costs minutes, not the whole
     driver run."""

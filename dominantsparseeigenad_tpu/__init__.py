@@ -47,6 +47,8 @@ from .ops import (
     dominant_svd,
     lanczos_restarted,
     interior_eigh,
+    fidelity_susceptibility,
+    energy_curvature,
     RestartState,
 )
 

@@ -23,6 +23,7 @@ from .decomp import eigh_safe, svd_safe
 from .svd import dominant_svd
 from .restart import lanczos_restarted, RestartState
 from .interior import interior_eigh
+from .observables import fidelity_susceptibility, energy_curvature
 
 __all__ = [
     "LinearOperator", "DenseOperator", "MatrixFreeOperator",
@@ -38,4 +39,5 @@ __all__ = [
     "bell_spmv",
     "eigh_safe", "svd_safe", "dominant_svd",
     "lanczos_restarted", "RestartState", "interior_eigh",
+    "fidelity_susceptibility", "energy_curvature",
 ]

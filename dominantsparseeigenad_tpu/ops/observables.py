@@ -1,0 +1,53 @@
+"""Generic differentiable observables built on the eigensolver.
+
+The reference computes fidelity susceptibility only inside its TFIM
+example scripts; here the construction is a library function usable with
+ANY parameterized operator builder (dense, sparse, matrix-free, sharded).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .eigh import dominant_eigh
+
+
+def fidelity_susceptibility(make_operator, g, *, k: int = 100,
+                            tol: float = 1e-10, maxiter: int | None = None,
+                            extreme: str = "min"):
+    """chi_F(g) = <∂ψ|∂ψ> - |<ψ|∂ψ>|² for the extremal eigenstate of
+    ``make_operator(g)``.
+
+    ``make_operator`` maps a scalar parameter to a LinearOperator (of any
+    backing).  The implicit-function-theorem tangent fixes the gauge
+    ``<ψ|∂ψ> = 0``, so chi_F reduces to ``||∂ψ/∂g||²`` — one ``jax.jvp``
+    through the eigensolver (one Lanczos forward + one deflated solve),
+    versus the reference's double-backward formulation.
+    """
+    g = jnp.asarray(g)
+
+    def psi(gg):
+        _, v = dominant_eigh(make_operator(gg), k=k, extreme=extreme,
+                             tol=tol, maxiter=maxiter)
+        return v
+
+    _, dpsi = jax.jvp(psi, (g,), (jnp.ones_like(g),))
+    return jnp.real(jnp.vdot(dpsi, dpsi))
+
+
+def energy_curvature(make_operator, g, *, k: int = 100, tol: float = 1e-10,
+                     maxiter: int | None = None, extreme: str = "min"):
+    """(E(g), dE/dg, d²E/dg²) of the extremal eigenvalue of
+    ``make_operator(g)`` — the reference's ED observables for any
+    operator family, via nested AD through the IFT rules."""
+    g = jnp.asarray(g)
+
+    def e(gg):
+        lam, _ = dominant_eigh(make_operator(gg), k=k, extreme=extreme,
+                               tol=tol, maxiter=maxiter)
+        return lam
+
+    val, d1 = jax.value_and_grad(e)(g)
+    d2 = jax.grad(jax.grad(e))(g)
+    return val, d1, d2

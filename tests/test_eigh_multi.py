@@ -149,3 +149,24 @@ def test_minres_deflated_matches_cg():
     pb = b - v_int * jnp.vdot(v_int, b)
     res = (a @ x - lam_int * x) - pb
     assert float(jnp.linalg.norm(res) / jnp.linalg.norm(pb)) < 1e-7
+
+
+def test_generic_observables():
+    """ops.observables: fidelity susceptibility and energy curvature for
+    arbitrary operator builders (generic versions of the reference's
+    TFIM-script-only constructions)."""
+    from dominantsparseeigenad_tpu import (energy_curvature,
+                                           fidelity_susceptibility)
+    from dominantsparseeigenad_tpu.models import (tfim_ed_observables,
+                                                  tfim_operator)
+    n, g = 8, 1.1
+    chi = fidelity_susceptibility(lambda gg: tfim_operator(n, gg),
+                                  jnp.float64(g), k=1 << n)
+    e0_ed, de_ed, d2e_ed, chi_ed = tfim_ed_observables(n, g)
+    np.testing.assert_allclose(chi, chi_ed, rtol=1e-7)
+
+    e, d1, d2 = energy_curvature(lambda gg: tfim_operator(n, gg),
+                                 jnp.float64(g), k=1 << n)
+    np.testing.assert_allclose(e, e0_ed, rtol=1e-10)
+    np.testing.assert_allclose(d1, de_ed, rtol=1e-9)
+    np.testing.assert_allclose(d2, d2e_ed, rtol=1e-6)
