@@ -21,6 +21,7 @@ from .tfim import (
     tfim_dense_hamiltonian,
     tfim_sharded_operator,
     tfim_exact_e0,
+    tfim_energy_gap,
     tfim_ground_energy,
     tfim_ground_state,
     fidelity_susceptibility,
@@ -30,6 +31,7 @@ from .tfim import (
 __all__ = [
     "tfim_operator", "tfim_matvec", "tfim_zz_diagonal",
     "tfim_dense_hamiltonian", "tfim_sharded_operator", "tfim_exact_e0",
+    "tfim_energy_gap",
     "tfim_ground_energy", "tfim_ground_state", "fidelity_susceptibility",
     "tfim_ed_observables",
     "ising_vertex_tensor", "onsager_free_energy", "trg_free_energy",

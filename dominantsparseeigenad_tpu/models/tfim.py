@@ -242,6 +242,17 @@ def tfim_ground_state(n: int, g, *, k: int = 100, tol: float = 1e-10,
                          k=min(k, 1 << n), extreme="min", tol=tol)
 
 
+def tfim_energy_gap(n: int, g, *, k: int = 100, tol: float = 1e-10,
+                    dtype=jnp.float64):
+    """Many-body gap E1 - E0 via the block eigensolver (r=2), matrix-free
+    and differentiable in g — closes at the quantum critical point g=1.
+    (Beyond the reference API: it computes one pair at a time.)"""
+    from ..ops.eigh import dominant_eigh_multi
+    lams, _ = dominant_eigh_multi(tfim_operator(n, g, dtype=dtype), r=2,
+                                  k=min(k, 1 << n), tol=tol)
+    return lams[1] - lams[0]
+
+
 def fidelity_susceptibility(n: int, g, *, k: int = 100, tol: float = 1e-10,
                             dtype=jnp.float64):
     """chi_F(g) = <∂ψ|∂ψ> - <∂ψ|ψ><ψ|∂ψ> via forward-mode AD.

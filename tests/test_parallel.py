@@ -101,3 +101,27 @@ def test_sharded_tfim_second_derivative(mesh):
     d2_exact = jax.grad(jax.grad(
         lambda gg: tfim_exact_e0(n, gg)))(jnp.float64(g))
     np.testing.assert_allclose(d2, d2_exact, rtol=1e-6)
+
+
+def test_sharded_multi_eigensolver(mesh):
+    """Top-r block eigensolver on a sharded operator: the multi-pair IFT
+    rule (vmapped deflated solves) composes with shard_map."""
+    from dominantsparseeigenad_tpu import dominant_eigh_multi
+    n, g = 6, 0.9
+    op_s = tfim_sharded_operator(n, g, mesh)
+    op_l = tfim_operator(n, g)
+    lams_s, vs = dominant_eigh_multi(op_s, r=3, k=1 << n)
+    lams_l, _ = dominant_eigh_multi(op_l, r=3, k=1 << n)
+    np.testing.assert_allclose(lams_s, lams_l, rtol=1e-10)
+
+    def gap(gg):
+        lams, _ = dominant_eigh_multi(tfim_sharded_operator(n, gg, mesh),
+                                      r=2, k=1 << n)
+        return lams[1] - lams[0]
+
+    g_sharded = jax.grad(gap)(jnp.float64(g))
+    def gap_local(gg):
+        lams, _ = dominant_eigh_multi(tfim_operator(n, gg), r=2, k=1 << n)
+        return lams[1] - lams[0]
+    g_local = jax.grad(gap_local)(jnp.float64(g))
+    np.testing.assert_allclose(g_sharded, g_local, rtol=1e-8)

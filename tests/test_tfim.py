@@ -77,3 +77,21 @@ def test_n16_matrix_free_vs_jw():
     n, g = 16, 1.0
     e = tfim_ground_energy(n, g, k=120, tol=1e-10)
     np.testing.assert_allclose(e, tfim_exact_e0(n, g), atol=1e-8)
+
+
+def test_energy_gap():
+    """E1 - E0 via the block eigensolver vs dense ED; gradient finite and
+    matching finite differences (gap closes toward g=1)."""
+    from dominantsparseeigenad_tpu.models import (tfim_dense_hamiltonian,
+                                                  tfim_energy_gap)
+    n, g = 8, 1.4
+    gap = tfim_energy_gap(n, g, k=1 << n)
+    evals = np.linalg.eigvalsh(np.asarray(tfim_dense_hamiltonian(n, g)))
+    np.testing.assert_allclose(gap, evals[1] - evals[0], rtol=1e-9)
+
+    dgap = jax.grad(lambda gg: tfim_energy_gap(n, gg, k=1 << n))(
+        jnp.float64(g))
+    eps = 1e-6
+    num = (tfim_energy_gap(n, g + eps, k=1 << n)
+           - tfim_energy_gap(n, g - eps, k=1 << n)) / (2 * eps)
+    np.testing.assert_allclose(dgap, num, rtol=1e-5)
