@@ -41,41 +41,48 @@ def _project_out(V: jax.Array, x: jax.Array) -> jax.Array:
 
 
 def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
-       tol: float = 1e-7, atol: float = 0.0, maxiter: int | None = None
-       ) -> jax.Array:
-    """Plain conjugate gradient for SPD ``matvec`` (jit/vmap friendly).
+       tol: float = 1e-7, atol: float = 0.0, maxiter: int | None = None,
+       precond: Callable | None = None) -> jax.Array:
+    """(Preconditioned) conjugate gradient for SPD ``matvec``.
 
     Equivalent of the reference's ``CG_torch`` plain-solver function
     (reference ``CG.py``), with a ``lax.while_loop`` instead of a Python
-    loop so it compiles to a single XLA computation.
+    loop so it compiles to a single XLA computation.  ``precond`` is an
+    optional SPD approximate-inverse application ``z = M^{-1} r`` (e.g. a
+    Jacobi/diagonal preconditioner) — the reference has no preconditioning
+    at all; near-critical spectra (small gaps) are where it pays.
     """
     if maxiter is None:
         maxiter = 10 * b.shape[-1]
     x0 = jnp.zeros_like(b) if x0 is None else x0
+    M = (lambda r: r) if precond is None else precond
 
     r0 = b - matvec(x0)
+    z0 = M(r0)
     bnorm2 = jnp.vdot(b, b).real
     target2 = jnp.maximum(tol * tol * bnorm2, atol * atol)
 
     def cond(state):
-        _, r, _, rs, it = state
-        return jnp.logical_and(rs > target2, it < maxiter)
+        _, r, _, _, _, it = state
+        return jnp.logical_and(jnp.vdot(r, r).real > target2, it < maxiter)
 
     def body(state):
-        x, r, p, rs, it = state
+        x, r, z, p, rz, it = state
         with jax.named_scope("cg_matvec"):
             ap = matvec(p)
         denom = jnp.vdot(p, ap).real
-        alpha = rs / jnp.where(denom == 0, 1.0, denom)
+        alpha = rz / jnp.where(denom == 0, 1.0, denom)
         alpha = jnp.where(denom == 0, 0.0, alpha)
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = jnp.vdot(r, r).real
-        beta = rs_new / jnp.where(rs == 0, 1.0, rs)
-        p = r + beta * p
-        return (x, r, p, rs_new, it + 1)
+        z = M(r)
+        rz_new = jnp.vdot(r, z).real
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
 
-    state0 = (x0, r0, r0, jnp.vdot(r0, r0).real, jnp.zeros((), jnp.int32))
+    state0 = (x0, r0, z0, z0, jnp.vdot(r0, z0).real,
+              jnp.zeros((), jnp.int32))
     x, *_ = lax.while_loop(cond, body, state0)
     return x
 
@@ -188,7 +195,8 @@ def solve_spd(matvec: Callable, b: jax.Array, *, tol: float = 1e-7,
 def solve_deflated(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
                    definite_sign: float | jax.Array = 1.0,
                    tol: float = 1e-7, maxiter: int | None = None,
-                   method: str = "cg") -> jax.Array:
+                   method: str = "cg",
+                   precond: Callable | None = None) -> jax.Array:
     """Differentiable solve of ``P (A - lam I) P x = P b`` on ``span(V)^⊥``.
 
     This is the core operation of the eigensolver backward/JVP (reference
@@ -220,7 +228,15 @@ def solve_deflated(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
         y = op.matvec(px) - lam * px
         return sign * _project_out(V, y)
 
-    inner = cg if method == "cg" else minres
+    if precond is not None and method == "cg":
+        # Project the preconditioner so it maps V-perp to V-perp (the
+        # standard deflated-PCG sandwich P M P).
+        def inner(mv, r, **kw):
+            return cg(mv, r,
+                      precond=lambda rr: _project_out(V, precond(rr)),
+                      **kw)
+    else:
+        inner = cg if method == "cg" else minres
 
     def solver(mv, r):
         # The deflated operator is singular on span(V).  The solves issued
