@@ -54,11 +54,22 @@ class EighOptions:
     seed: int = 0
     reorthogonalize: bool = True
     reorth_passes: int = 2
+    restart_cycles: int = 0
 
 
 def _forward(op, extreme: str, opts: EighOptions):
     key = jax.random.PRNGKey(opts.seed)
     k = min(opts.k, op.dim)
+    if opts.restart_cycles > 0 and extreme in ("min", "max"):
+        # Bounded-memory forward: thick-restart Lanczos holds only a
+        # (k+1, N) window — unlocks dimensions where the plain k-step
+        # basis would not fit in HBM.  Derivatives are unchanged (the
+        # IFT rule only needs the converged eigenpair).
+        from .restart import lanczos_restarted
+        lam, v, _ = lanczos_restarted(op, k, n_restarts=opts.restart_cycles,
+                                      extreme=extreme, key=key,
+                                      reorth_passes=opts.reorth_passes)
+        return lam, v
     return lanczos_eigh(op, k, extreme=extreme, key=key,
                         reorthogonalize=opts.reorthogonalize,
                         reorth_passes=opts.reorth_passes)
@@ -208,7 +219,7 @@ def dominant_eigh_multi(op, r: int = 4, k: int = 128, *,
 def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
                   tol: float = 1e-8, maxiter: int | None = None,
                   seed: int = 0, reorthogonalize: bool = True,
-                  reorth_passes: int = 2):
+                  reorth_passes: int = 2, restart_cycles: int = 0):
     """Extremal eigenpair(s) of a symmetric operator, differentiable to all
     orders w.r.t. the operator's pytree parameters.
 
@@ -230,8 +241,11 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
     Returns ``(lam, v)`` or ``(lmin, vmin, lmax, vmax)`` for "both".
     """
     op = as_operator(op)
+    if restart_cycles and extreme == "both":
+        raise ValueError("restart_cycles requires extreme='min' or 'max'")
     opts = EighOptions(k=int(k), tol=float(tol),
                        maxiter=None if maxiter is None else int(maxiter),
                        seed=int(seed), reorthogonalize=bool(reorthogonalize),
-                       reorth_passes=int(reorth_passes))
+                       reorth_passes=int(reorth_passes),
+                       restart_cycles=int(restart_cycles))
     return _dominant_eigh(op, extreme, opts)

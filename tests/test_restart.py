@@ -41,3 +41,27 @@ def test_restarted_jit_and_deterministic():
     f = jax.jit(lambda: lanczos_restarted(op, k=16, n_restarts=6)[0])
     a, b = float(f()), float(f())
     assert a == b
+
+
+def test_restart_forward_in_dominant_eigh():
+    """dominant_eigh(restart_cycles=...) — the bounded-memory forward
+    composes with the IFT derivatives to machine precision (the rule only
+    needs the converged pair)."""
+    from dominantsparseeigenad_tpu.models import tfim_exact_e0
+    n = 12
+
+    from dominantsparseeigenad_tpu import dominant_eigh
+
+    def e0(g):
+        lam, _ = dominant_eigh(tfim_operator(n, g), k=24,
+                               restart_cycles=10, extreme="min", tol=1e-11)
+        return lam
+
+    val, grad = jax.value_and_grad(e0)(jnp.float64(1.0))
+    ex_v = tfim_exact_e0(n, 1.0)
+    ex_g = jax.grad(lambda g: tfim_exact_e0(n, g))(jnp.float64(1.0))
+    np.testing.assert_allclose(val, ex_v, rtol=1e-12)
+    np.testing.assert_allclose(grad, ex_g, rtol=1e-12)
+    d2 = jax.grad(jax.grad(e0))(jnp.float64(1.0))
+    ex_2 = jax.grad(jax.grad(lambda g: tfim_exact_e0(n, g)))(jnp.float64(1.0))
+    np.testing.assert_allclose(d2, ex_2, rtol=1e-9)
