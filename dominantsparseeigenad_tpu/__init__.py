@@ -49,6 +49,7 @@ from .ops import (
     interior_eigh,
     fidelity_susceptibility,
     energy_curvature,
+    spectral_function,
     RestartState,
 )
 

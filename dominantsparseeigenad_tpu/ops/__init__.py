@@ -24,6 +24,7 @@ from .svd import dominant_svd
 from .restart import lanczos_restarted, RestartState
 from .interior import interior_eigh
 from .observables import fidelity_susceptibility, energy_curvature
+from .spectral import spectral_function
 
 __all__ = [
     "LinearOperator", "DenseOperator", "MatrixFreeOperator",
@@ -39,5 +40,5 @@ __all__ = [
     "bell_spmv",
     "eigh_safe", "svd_safe", "dominant_svd",
     "lanczos_restarted", "RestartState", "interior_eigh",
-    "fidelity_susceptibility", "energy_curvature",
+    "fidelity_susceptibility", "energy_curvature", "spectral_function",
 ]
