@@ -22,6 +22,9 @@ from .tfim import (
     tfim_sharded_operator,
     tfim_exact_e0,
     tfim_energy_gap,
+    tfim2d_operator,
+    tfim2d_dense_hamiltonian,
+    tfim2d_zz_diagonal,
     tfim_ground_energy,
     tfim_ground_state,
     fidelity_susceptibility,
@@ -31,7 +34,8 @@ from .tfim import (
 __all__ = [
     "tfim_operator", "tfim_matvec", "tfim_zz_diagonal",
     "tfim_dense_hamiltonian", "tfim_sharded_operator", "tfim_exact_e0",
-    "tfim_energy_gap",
+    "tfim_energy_gap", "tfim2d_operator", "tfim2d_dense_hamiltonian",
+    "tfim2d_zz_diagonal",
     "tfim_ground_energy", "tfim_ground_state", "fidelity_susceptibility",
     "tfim_ed_observables",
     "ising_vertex_tensor", "onsager_free_energy", "trg_free_energy",

@@ -142,6 +142,57 @@ def tfim_dense_hamiltonian(n: int, g, dtype=jnp.float64) -> jax.Array:
     return h
 
 
+def tfim2d_zz_diagonal(lx: int, ly: int, dtype=jnp.float64) -> jax.Array:
+    """Diagonal of -sum_<ij> sz_i sz_j on an lx x ly periodic square
+    lattice (site (x, y) -> bit x + lx*y), over the 2^(lx*ly) basis."""
+    n = lx * ly
+    dim = 1 << n
+    idx = jnp.arange(dim, dtype=jnp.uint32)
+
+    def bit(p):
+        return (idx >> p) & 1
+
+    n_anti = jnp.zeros(dim, dtype=dtype)
+    for y in range(ly):
+        for x in range(lx):
+            p = x + lx * y
+            for q in (((x + 1) % lx) + lx * y, x + lx * ((y + 1) % ly)):
+                n_anti = n_anti + (bit(p) ^ bit(q)).astype(dtype)
+    # 2 bonds per site; -sum sz sz = 2*n_anti - n_bonds
+    return 2.0 * n_anti - 2 * n
+
+
+def tfim2d_operator(lx: int, ly: int, g,
+                    dtype=jnp.float64) -> MatrixFreeOperator:
+    """Matrix-free 2D transverse-field Ising model on an lx x ly periodic
+    square lattice — beyond the reference (1D only).  The transverse term
+    is site-local, so the same hypercube-adjacency ``flip_sum`` applies
+    unchanged; only the zz bond diagonal differs.
+    """
+    g = jnp.asarray(g, dtype=dtype)
+    diag = tfim2d_zz_diagonal(lx, ly, dtype=dtype)
+    return MatrixFreeOperator(tfim_matvec, (g, diag),
+                              dim=1 << (lx * ly), dtype=dtype)
+
+
+def tfim2d_dense_hamiltonian(lx: int, ly: int, g,
+                             dtype=jnp.float64) -> jax.Array:
+    """Dense 2D TFIM (ED oracle; tiny lattices only)."""
+    n = lx * ly
+    g = jnp.asarray(g, dtype=dtype)
+    h = jnp.diag(tfim2d_zz_diagonal(lx, ly, dtype=dtype))
+    eye = np.eye(2)
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    for i in range(n):
+        ops = [eye] * n
+        ops[i] = sx
+        full = ops[0]
+        for o in ops[1:]:
+            full = np.kron(full, o)
+        h = h - g * jnp.asarray(full, dtype=dtype)
+    return h
+
+
 # ---------------------------------------------------------------------------
 # Sharded (multi-chip) matrix-free Hamiltonian
 # ---------------------------------------------------------------------------

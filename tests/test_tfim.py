@@ -95,3 +95,26 @@ def test_energy_gap():
     num = (tfim_energy_gap(n, g + eps, k=1 << n)
            - tfim_energy_gap(n, g - eps, k=1 << n)) / (2 * eps)
     np.testing.assert_allclose(dgap, num, rtol=1e-5)
+
+
+def test_tfim2d_matches_ed():
+    """2D quantum TFIM (periodic square lattice; beyond the 1D-only
+    reference): matvec vs dense ED, E0 + Hellmann-Feynman gradient."""
+    from dominantsparseeigenad_tpu.models import (tfim2d_dense_hamiltonian,
+                                                  tfim2d_operator)
+    from dominantsparseeigenad_tpu.models.tfim import flip_sum
+    lx, ly, g = 3, 3, 3.0
+    n = lx * ly
+    op = tfim2d_operator(lx, ly, g)
+    h = tfim2d_dense_hamiltonian(lx, ly, g)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(1 << n))
+    np.testing.assert_allclose(op.matvec(x), h @ x, atol=1e-12)
+
+    e0 = lambda gg: dominant_eigh(tfim2d_operator(lx, ly, gg), k=1 << n,
+                                  extreme="min", tol=1e-12)[0]
+    val, grad = jax.value_and_grad(e0)(jnp.float64(g))
+    evals, evecs = np.linalg.eigh(np.asarray(h))
+    np.testing.assert_allclose(val, evals[0], rtol=1e-12)
+    v0 = jnp.asarray(evecs[:, 0])
+    hf = -float(jnp.vdot(v0, flip_sum(v0, n)))
+    np.testing.assert_allclose(grad, hf, rtol=1e-10)
