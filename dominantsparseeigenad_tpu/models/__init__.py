@@ -7,6 +7,7 @@ from .ising2d import (
     ctmrg_free_energy,
     transfer_operator,
     transfer_spectral_gap,
+    correlation_length,
     ising_observables,
 )
 from .heisenberg import (
@@ -40,6 +41,7 @@ __all__ = [
     "tfim_ed_observables",
     "ising_vertex_tensor", "onsager_free_energy", "trg_free_energy",
     "trg_step", "ctmrg_environment", "ctmrg_free_energy",
-    "transfer_operator", "transfer_spectral_gap", "ising_observables",
+    "transfer_operator", "transfer_spectral_gap", "correlation_length",
+    "ising_observables",
     "heisenberg_operator", "heisenberg_dense", "heisenberg_ground_energy",
 ]

@@ -285,6 +285,41 @@ def transfer_spectral_gap(beta, *, chi: int = 16, n_steps: int = 30,
     return lam
 
 
+def correlation_length(beta, *, chi: int = 16, n_steps: int = 30,
+                       num_iters: int = 600, dtype=jnp.float64):
+    """Correlation length xi = 1 / ln(lam1/lam2) from the two leading
+    transfer eigenvalues — the second obtained by running the SAME
+    dominant eigensolver on the rank-1-deflated operator
+
+        M2 = M - lam1 * r1 l1^T    (l1^T r1 = 1),
+
+    built with the framework's lazy operator algebra, so the whole chain
+    (CTMRG environment -> lam1 eigentriple -> deflation -> lam2 -> xi) is
+    differentiable in beta.  Valid in the disordered phase (simple
+    Perron root; in the ordered phase the top pair degenerates and
+    xi -> infinity).
+    """
+    from ..ops.operators import MatrixFreeOperator
+
+    c, e, t = ctmrg_environment(beta, chi=chi, n_steps=n_steps, dtype=dtype)
+    op = transfer_operator(c, e, t)
+    lam1, l1, r1 = dominant_eig(op, num_iters=num_iters)
+
+    def mv(params, x):
+        lam1, l1, r1, a = params
+        return a @ x - lam1 * r1 * (l1 @ x)
+
+    def rmv(params, x):
+        lam1, l1, r1, a = params
+        return a.T @ x - lam1 * l1 * (r1 @ x)
+
+    deflated = MatrixFreeOperator(mv, (lam1, l1, r1, op.a), dim=op.dim,
+                                  dtype=op.dtype, rmatvec_fn=rmv,
+                                  symmetric=False)
+    lam2, _, _ = dominant_eig(deflated, num_iters=num_iters, seed=3)
+    return 1.0 / jnp.log(lam1 / lam2)
+
+
 # ---------------------------------------------------------------------------
 # Observables (differentiate lnZ through the contraction)
 # ---------------------------------------------------------------------------

@@ -165,3 +165,25 @@ def test_trg_lanczos_split_matches_full():
     gl = jax.grad(lambda bb: trg_free_energy(
         bb, chi=8, n_steps=6, split_method="lanczos"))(jnp.float64(b))
     np.testing.assert_allclose(gl, gf, rtol=1e-7)
+
+
+def test_correlation_length():
+    """xi from the two leading transfer eigenvalues — the second via the
+    same dominant eigensolver on the rank-1 deflated operator (operator-
+    algebra composition); differentiable in beta."""
+    from dominantsparseeigenad_tpu.models import (correlation_length,
+                                                  transfer_operator)
+    b = 0.35
+    c, e, t = ctmrg_environment(jnp.float64(b), chi=12, n_steps=20)
+    m = np.asarray(transfer_operator(c, e, t).to_dense())
+    w = np.sort(np.abs(np.linalg.eigvals(m)))[::-1]
+    xi_exact = 1.0 / np.log(w[0] / w[1])
+    xi = correlation_length(jnp.float64(b), chi=12, n_steps=20)
+    np.testing.assert_allclose(xi, xi_exact, rtol=1e-6)
+
+    f = lambda bb: correlation_length(bb, chi=10, n_steps=15)
+    dxi = jax.grad(f)(jnp.float64(b))
+    eps = 1e-4
+    num = (f(jnp.float64(b + eps)) - f(jnp.float64(b - eps))) / (2 * eps)
+    np.testing.assert_allclose(dxi, num, rtol=1e-3)
+    assert float(dxi) > 0  # xi grows approaching beta_c from below
