@@ -26,6 +26,7 @@ from .ops import (
     power_iteration,
     LanczosResult,
     cg,
+    cg_info,
     minres,
     solve_spd,
     solve_symmetric,

@@ -11,8 +11,8 @@ from .operators import (
     as_operator,
 )
 from .lanczos import lanczos, lanczos_eigh, power_iteration, LanczosResult
-from .cg import (cg, minres, solve_spd, solve_symmetric, solve_deflated,
-                 solve_general)
+from .cg import (cg, cg_info, minres, solve_spd, solve_symmetric,
+                 solve_deflated, solve_general)
 from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
                    EighMultiOptions)
 from .eig import dominant_eig, EigOptions
@@ -32,7 +32,8 @@ __all__ = [
     "SumOperator", "ScaledOperator", "ComposedOperator",
     "as_operator",
     "lanczos", "lanczos_eigh", "power_iteration", "LanczosResult",
-    "cg", "minres", "solve_spd", "solve_symmetric", "solve_deflated",
+    "cg", "cg_info", "minres", "solve_spd", "solve_symmetric",
+    "solve_deflated",
     "solve_general",
     "dominant_eigh", "dominant_eigh_multi", "EighOptions",
     "EighMultiOptions", "dominant_eig", "EigOptions",

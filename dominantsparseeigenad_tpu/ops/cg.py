@@ -87,6 +87,42 @@ def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
     return x
 
 
+def cg_info(matvec: Callable, b: jax.Array, **kwargs):
+    """Like :func:`cg` but returns ``(x, iterations, relative_residual)``
+    — observability the reference never exposes.  Forward-only (use the
+    plain :func:`cg`/``solve_*`` wrappers inside differentiated code)."""
+    tol = kwargs.get("tol", 1e-7)
+    maxiter = kwargs.get("maxiter") or 10 * b.shape[-1]
+    precond = kwargs.get("precond")
+    M = (lambda r: r) if precond is None else precond
+    r0 = b - matvec(jnp.zeros_like(b))
+    target2 = (tol * tol) * jnp.vdot(b, b).real
+
+    def cond(s):
+        _, r, _, _, _, it = s
+        return jnp.logical_and(jnp.vdot(r, r).real > target2, it < maxiter)
+
+    def body(s):
+        x, r, z, p, rz, it = s
+        ap = matvec(p)
+        denom = jnp.vdot(p, ap).real
+        alpha = jnp.where(denom == 0, 0.0, rz / jnp.where(denom == 0, 1.0,
+                                                          denom))
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z).real
+        p = z + (rz_new / jnp.where(rz == 0, 1.0, rz)) * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    z0 = M(r0)
+    out = lax.while_loop(cond, body, (jnp.zeros_like(b), r0, z0, z0,
+                                      jnp.vdot(r0, z0).real,
+                                      jnp.zeros((), jnp.int32)))
+    res = jnp.linalg.norm(b - matvec(out[0])) / jnp.linalg.norm(b)
+    return out[0], out[5], res
+
+
 def minres(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
            tol: float = 1e-7, maxiter: int | None = None) -> jax.Array:
     """MINRES for a symmetric (possibly **indefinite**) operator.

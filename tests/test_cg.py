@@ -126,3 +126,24 @@ def test_preconditioned_cg():
     pb = b - v * jnp.vdot(v, b)
     res = (a @ x - lam * x) - pb
     assert float(jnp.linalg.norm(res) / jnp.linalg.norm(pb)) < 1e-9
+
+
+def test_cg_info():
+    """cg_info reports iteration count and residual (observability)."""
+    from dominantsparseeigenad_tpu import cg_info
+    rng = np.random.default_rng(1)
+    n = 100
+    a = rng.standard_normal((n, n))
+    spd = jnp.asarray(a @ a.T + n * np.eye(n))
+    b = jnp.asarray(rng.standard_normal(n))
+    x, iters, res = cg_info(lambda v: spd @ v, b, tol=1e-10)
+    assert float(res) < 1e-9
+    assert 0 < int(iters) < n
+    np.testing.assert_allclose(spd @ x, b, rtol=1e-7)
+    # preconditioning reduces the iteration count on a scaled system
+    d = jnp.asarray(10.0 ** rng.uniform(0, 3, n))
+    a2 = jnp.diag(d) + 0.2 * (spd / n)
+    _, it_plain, _ = cg_info(lambda v: a2 @ v, b, tol=1e-10)
+    _, it_pcg, _ = cg_info(lambda v: a2 @ v, b, tol=1e-10,
+                           precond=lambda r: r / jnp.diagonal(a2))
+    assert int(it_pcg) < int(it_plain)
