@@ -44,6 +44,7 @@ from .ops import (
     random_bell_operator,
     bell_spmv,
     eigh_safe,
+    eigh_safe_truncated,
     svd_safe,
     dominant_svd,
     lanczos_restarted,

@@ -19,7 +19,7 @@ from .eig import dominant_eig, EigOptions
 from .sparse import (COOOperator, BCOOOperator, BellOperator,
                      random_bell_operator)
 from .pallas_spmv import bell_spmv
-from .decomp import eigh_safe, svd_safe
+from .decomp import eigh_safe, eigh_safe_truncated, svd_safe
 from .svd import dominant_svd
 from .restart import lanczos_restarted, RestartState
 from .interior import interior_eigh
@@ -39,7 +39,7 @@ __all__ = [
     "EighMultiOptions", "dominant_eig", "EigOptions",
     "COOOperator", "BCOOOperator", "BellOperator", "random_bell_operator",
     "bell_spmv",
-    "eigh_safe", "svd_safe", "dominant_svd",
+    "eigh_safe", "eigh_safe_truncated", "svd_safe", "dominant_svd",
     "lanczos_restarted", "RestartState", "interior_eigh",
     "fidelity_susceptibility", "energy_curvature", "spectral_function",
 ]
