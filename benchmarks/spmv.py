@@ -26,6 +26,9 @@ from dominantsparseeigenad_tpu import BellOperator, bell_spmv, \
     random_bell_operator
 
 
+N_CHAIN = 20  # SpMVs per timed call: amortizes the ~25 ms tunnel RTT
+
+
 def _sync_time(f, *args, repeats=4):
     _ = float(f(*args)[0])          # warmup + queue drain
     ts = []
@@ -51,21 +54,28 @@ def main():
           f"nnz={nnz/1e9:.2f}e9  vals={nnz*4/2**30:.2f} GiB",
           file=sys.stderr)
 
-    # Per-call overhead floor (tunnel round-trip + dispatch).
-    tiny = jax.jit(lambda v: v + 1.0)
-    overhead = _sync_time(tiny, jnp.ones((8,), jnp.float32), repeats=6)
+    # Chain N_CHAIN dependent SpMVs inside one jit so the ~25 ms tunnel
+    # round-trip amortizes away (subtracting a separately-measured
+    # overhead is too noisy when the kernel itself takes a few ms —
+    # it can even produce impossible >bandwidth numbers).
+    def chain(spmv_once):
+        def run(v, c, xx):
+            def body(_, cur):
+                y = spmv_once(v, c, cur)
+                return y / jnp.linalg.norm(y)
+            return jax.lax.fori_loop(0, N_CHAIN, body, xx)
+        return jax.jit(run)
 
-    f_pal = jax.jit(lambda v, c, xx: bell_spmv(v, c, xx, False))
-    f_xla = jax.jit(lambda v, c, xx: BellOperator(
+    f_pal = chain(lambda v, c, xx: bell_spmv(v, c, xx, False))
+    f_xla = chain(lambda v, c, xx: BellOperator(
         v, c, args.n, use_pallas=False)._xla_matvec(xx))
 
     results = {}
     for name, f in [("pallas", f_pal), ("xla", f_xla)]:
-        dt = _sync_time(f, op.vals, op.cols, x)
-        dev = max(dt - overhead, 1e-9)
-        results[name] = nnz / dev / 1e9
-        print(f"# {name}: {dt*1e3:.2f}ms raw, {dev*1e3:.2f}ms device -> "
-              f"{nnz/dev/1e9:.1f} Gnnz/s ({nnz*4/dev/1e9:.0f} GB/s)",
+        dt = _sync_time(f, op.vals, op.cols, x) / N_CHAIN
+        results[name] = nnz / dt / 1e9
+        print(f"# {name}: {dt*1e3:.2f}ms/spmv (x{N_CHAIN} chained) -> "
+              f"{nnz/dt/1e9:.1f} Gnnz/s ({nnz*4/dt/1e9:.0f} GB/s)",
               file=sys.stderr)
 
     print(json.dumps({
