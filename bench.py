@@ -44,6 +44,9 @@ REPEATS = 3
 def bench_jax():
     import os
     import jax
+    # Honored when the staged runner falls back to CPU (wedged device).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # Persistent compile cache: repeated driver runs skip the one-time
     # XLA compilation of the k-step scan + IFT tangent program.
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -221,11 +224,12 @@ def exact_reference():
     return e0(G), de0
 
 
-def wait_for_device(max_tries: int = 4, probe_timeout: int = 90) -> None:
+def wait_for_device(max_tries: int = 4, probe_timeout: int = 90) -> bool:
     """The tunneled TPU service occasionally wedges for minutes after a
     heavy job (see utils.timing docs); probe it in a subprocess with a
     timeout and back off until it answers, so a driver-run bench doesn't
-    report a hang as a result."""
+    report a hang as a result.  Returns False if the device never
+    answered (callers fall back to CPU)."""
     import subprocess
     probe = ("import jax, jax.numpy as jnp; "
              "print(float(jnp.sum(jnp.ones(8))))")
@@ -235,11 +239,12 @@ def wait_for_device(max_tries: int = 4, probe_timeout: int = 90) -> None:
                            timeout=probe_timeout,
                            stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL)
-            return
+            return True
         except Exception:
             print(f"# device probe failed (attempt {attempt + 1}); "
                   f"backing off", file=sys.stderr)
             time.sleep(60)
+    return False
 
 
 def run_jax_staged(max_tries: int = 3, stage_timeout: int = 600):
@@ -248,11 +253,19 @@ def run_jax_staged(max_tries: int = 3, stage_timeout: int = 600):
     driver run."""
     import subprocess
     for attempt in range(max_tries):
-        wait_for_device()
+        device_ok = wait_for_device()
+        env = dict(os.environ)
+        if not device_ok:
+            # Wedged accelerator: still produce a valid (CPU vs CPU)
+            # head-to-head rather than nothing.
+            env["JAX_PLATFORMS"] = "cpu"
+            print("# device unavailable -> CPU fallback for the jax stage",
+                  file=sys.stderr)
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--jax-only"],
-                timeout=stage_timeout, capture_output=True, text=True)
+                timeout=stage_timeout, capture_output=True, text=True,
+                env=env)
             for line in reversed(proc.stdout.strip().splitlines()):
                 if line.startswith("["):
                     return tuple(json.loads(line))
