@@ -1,6 +1,11 @@
 """Headline benchmark — BASELINE.md driver-defined metric #2/#3.
 
-Workload (both frameworks, identical math and tolerances):
+Workload (same algorithm and iteration counts in both frameworks; OURS runs
+f32 on the TPU chip when reachable, the torch baseline runs f64 on CPU — its
+own working precision, since its gradcheck-based design requires double and
+its deflated f32 CG diverges.  The headline ratio is therefore a
+cross-precision, cross-device comparison by construction; see
+benchmarks/dense_small_bench.py for a same-device CPU-vs-CPU head-to-head):
     matrix-free TFIM, N = 20 spins (Hilbert dim 2^20 = 1,048,576)
     -> k-step Lanczos ground state (E0, |psi0>)
     -> dE0/dg (implicit-function-theorem / Hellmann-Feynman)

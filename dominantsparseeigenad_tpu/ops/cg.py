@@ -87,16 +87,20 @@ def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
     return x
 
 
-def cg_info(matvec: Callable, b: jax.Array, **kwargs):
+def cg_info(matvec: Callable, b: jax.Array, *,
+            x0: jax.Array | None = None, tol: float = 1e-7,
+            atol: float = 0.0, maxiter: int | None = None,
+            precond: Callable | None = None):
     """Like :func:`cg` but returns ``(x, iterations, relative_residual)``
     — observability the reference never exposes.  Forward-only (use the
-    plain :func:`cg`/``solve_*`` wrappers inside differentiated code)."""
-    tol = kwargs.get("tol", 1e-7)
-    maxiter = kwargs.get("maxiter") or 10 * b.shape[-1]
-    precond = kwargs.get("precond")
+    plain :func:`cg`/``solve_*`` wrappers inside differentiated code).
+    Takes exactly :func:`cg`'s keyword signature."""
+    if maxiter is None:
+        maxiter = 10 * b.shape[-1]
+    x0 = jnp.zeros_like(b) if x0 is None else x0
     M = (lambda r: r) if precond is None else precond
-    r0 = b - matvec(jnp.zeros_like(b))
-    target2 = (tol * tol) * jnp.vdot(b, b).real
+    r0 = b - matvec(x0)
+    target2 = jnp.maximum((tol * tol) * jnp.vdot(b, b).real, atol * atol)
 
     def cond(s):
         _, r, _, _, _, it = s
@@ -116,7 +120,7 @@ def cg_info(matvec: Callable, b: jax.Array, **kwargs):
         return (x, r, z, p, rz_new, it + 1)
 
     z0 = M(r0)
-    out = lax.while_loop(cond, body, (jnp.zeros_like(b), r0, z0, z0,
+    out = lax.while_loop(cond, body, (x0, r0, z0, z0,
                                       jnp.vdot(r0, z0).real,
                                       jnp.zeros((), jnp.int32)))
     res = jnp.linalg.norm(b - matvec(out[0])) / jnp.linalg.norm(b)

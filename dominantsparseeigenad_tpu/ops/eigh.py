@@ -138,10 +138,12 @@ def _multi_forward(op, extreme: str, opts: EighMultiOptions):
            else k - 1 - jnp.arange(opts.r))
     lams = evals[idx]
     v = res.basis @ evecs[:, idx]
-    # Deterministic per-vector sign gauge.
+    # Deterministic per-vector phase gauge: conj(sign) makes each pivot
+    # entry real positive (matches lanczos_eigh._pair; plain sign() would
+    # leave complex columns phase-rotated, not gauge-fixed).
     pivots = jnp.take_along_axis(v, jnp.argmax(jnp.abs(v), axis=0)[None],
                                  axis=0)[0]
-    return lams, v * jnp.sign(pivots)[None, :]
+    return lams, v * jnp.conj(jnp.sign(pivots))[None, :]
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(1, 2))

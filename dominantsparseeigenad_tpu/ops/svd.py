@@ -27,10 +27,21 @@ from .operators import LinearOperator, MatrixFreeOperator, as_operator
 
 
 def _embed(op: LinearOperator, m: int, n: int) -> MatrixFreeOperator:
+    is_complex = jnp.issubdtype(jnp.dtype(op.dtype), jnp.complexfloating)
+
     def matvec(params, w):
         inner, = params
         u, v = w[:m], w[m:]
-        return jnp.concatenate([inner.matvec(v), inner.rmatvec(u)])
+        if is_complex:
+            # The embedding must be [[0, A], [A^H, 0]] (HERMITIAN), not the
+            # complex-symmetric [[0, A], [A^T, 0]] — the operator protocol's
+            # rmatvec is the plain transpose, so build the adjoint as
+            # A^H u = conj(A^T conj(u)).  With the transpose the Lanczos
+            # solve silently returns wrong singular values for complex A.
+            down = jnp.conj(inner.rmatvec(jnp.conj(u)))
+        else:
+            down = inner.rmatvec(u)
+        return jnp.concatenate([inner.matvec(v), down])
 
     return MatrixFreeOperator(matvec, (op,), dim=m + n, dtype=op.dtype)
 

@@ -28,6 +28,21 @@ def test_values_rectangular():
     np.testing.assert_allclose(a @ v, u * s[None, :], atol=1e-7)
 
 
+def test_values_complex():
+    """Complex input: the embedding must use the adjoint A^H, not the
+    transpose — with A^T the embedded matrix is complex-symmetric (not
+    Hermitian) and the singular values come out silently wrong."""
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal((32, 32))
+                    + 1j * rng.standard_normal((32, 32)))
+    u, s, v = dominant_svd(a, r=4, k=64)
+    sv = np.linalg.svd(np.asarray(a), compute_uv=False)
+    np.testing.assert_allclose(s, sv[:4], rtol=1e-9)
+    np.testing.assert_allclose(a @ v, u * s[None, :], atol=1e-7)
+    np.testing.assert_allclose(u.conj().T @ u, np.eye(4), atol=1e-8)
+    np.testing.assert_allclose(v.conj().T @ v, np.eye(4), atol=1e-8)
+
+
 def test_gradients():
     rng = np.random.default_rng(2)
     a = jnp.asarray(rng.standard_normal((24, 24)))
