@@ -40,7 +40,8 @@ def bench_ours():
 
     # Config #1: eigenpair + dlam/dA.
     f1 = jax.jit(jax.value_and_grad(
-        lambda m: dominant_eigh(DenseOperator(m), k=K, extreme="min")[0]))
+        lambda m: dominant_eigh(DenseOperator(m), k=K, extreme="min",
+                                reorth_passes=1)[0]))
     out = jax.block_until_ready(f1(a))
     ts1 = []
     for _ in range(REPEATS):
@@ -52,10 +53,14 @@ def bench_ours():
     assert abs(lam - evals[0]) < 1e-10
     assert np.allclose(dlam, np.outer(evecs[:, 0], evecs[:, 0]), atol=1e-8)
 
-    # Config #2: TFIM N=10 dE0/dg.
+    # Config #2: TFIM N=10 dE0/dg.  The forward uses residual-based early
+    # exit (lanczos_adaptive): the k=120 budget stops at the ~50 steps the
+    # spectrum actually needs — the reference runs its full fixed k every
+    # time.  Accuracy is asserted against the exact JW derivative below.
     def e0(g):
         h = tfim_dense_hamiltonian(N_SPINS, g)
-        return dominant_eigh(DenseOperator(h), k=120, extreme="min")[0]
+        return dominant_eigh(DenseOperator(h), k=120, extreme="min",
+                             early_exit_tol=1e-11, reorth_passes=1)[0]
 
     f2 = jax.jit(jax.value_and_grad(e0))
     out = jax.block_until_ready(f2(jnp.float64(G)))
@@ -157,9 +162,12 @@ def main():
     print(f"# config2 TFIM N=10 dE0/dg: ours {t2*1e3:.2f}ms "
           f"torch {t2_ref*1e3:.2f}ms ({t2_ref/t2:.1f}x)", file=sys.stderr)
     # Note on the ratios: config #1 (64x64) wins on jit fusion; config #2
-    # (dim 1024, k=120, CPU) loses to eager torch+MKL on per-step scan
-    # overhead — the sequential-small-op regime XLA CPU handles worst;
-    # the same solve at N=20 on TPU is 59x FASTER than torch (bench.py).
+    # (dim 1024, CPU) wins through residual-based early exit (~50 of the
+    # 120 budgeted steps actually run; matching single reorth sweep on
+    # both sides) — the fixed-k scan alone loses to eager torch+MKL on
+    # per-step dispatch overhead, the sequential-small-op regime XLA CPU
+    # handles worst.  The same solve at N=20 on TPU is ~59x faster than
+    # torch (bench.py).
     print(json.dumps({
         "metric": "dense64_eigenpair_grad_time",
         "value": round(t1, 5),

@@ -22,9 +22,11 @@ from .ops import (
     ComposedOperator,
     as_operator,
     lanczos,
+    lanczos_adaptive,
     lanczos_eigh,
     power_iteration,
     LanczosResult,
+    LanczosInfo,
     cg,
     cg_info,
     minres,

@@ -129,17 +129,16 @@ def tfim_dense_hamiltonian(n: int, g, dtype=jnp.float64) -> jax.Array:
     """Full 2^n x 2^n TFIM matrix (reference's ED path; small n only)."""
     g = jnp.asarray(g, dtype=dtype)
     dim = 1 << n
-    h = jnp.diag(tfim_zz_diagonal(n, dtype=dtype))
-    eye = np.eye(2, dtype=np.float64)
-    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    # -sum_i sigma^x_i couples basis state i to i XOR 2^k — assembled as
+    # ONE constant numpy matrix so the traced graph is a single fused
+    # axpy `diag(zz) - g * Hx` (and its transpose pass one contraction),
+    # instead of n sequential dim^2 updates.
+    idx = np.arange(dim)
+    hx = np.zeros((dim, dim))
     for i in range(n):
-        ops = [eye] * n
-        ops[i] = sx
-        full = ops[0]
-        for o in ops[1:]:
-            full = np.kron(full, o)
-        h = h - g * jnp.asarray(full, dtype=dtype)
-    return h
+        hx[idx, idx ^ (1 << i)] += 1.0
+    return (jnp.diag(tfim_zz_diagonal(n, dtype=dtype))
+            - g * jnp.asarray(hx, dtype=dtype))
 
 
 def tfim2d_zz_diagonal(lx: int, ly: int, dtype=jnp.float64) -> jax.Array:

@@ -10,7 +10,8 @@ from .operators import (
     ComposedOperator,
     as_operator,
 )
-from .lanczos import lanczos, lanczos_eigh, power_iteration, LanczosResult
+from .lanczos import (lanczos, lanczos_adaptive, lanczos_eigh,
+                      power_iteration, LanczosResult, LanczosInfo)
 from .cg import (cg, cg_info, minres, solve_spd, solve_symmetric,
                  solve_deflated, solve_general)
 from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
@@ -31,7 +32,8 @@ __all__ = [
     "TransposedOperator", "ShiftedOperator", "DeflatedOperator",
     "SumOperator", "ScaledOperator", "ComposedOperator",
     "as_operator",
-    "lanczos", "lanczos_eigh", "power_iteration", "LanczosResult",
+    "lanczos", "lanczos_adaptive", "lanczos_eigh", "power_iteration",
+    "LanczosResult", "LanczosInfo",
     "cg", "cg_info", "minres", "solve_spd", "solve_symmetric",
     "solve_deflated",
     "solve_general",

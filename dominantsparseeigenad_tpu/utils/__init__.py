@@ -6,6 +6,8 @@ from .diagnostics import (
     orthogonality_loss,
     lanczos_health,
     cg_relative_residual,
+    assert_converged,
+    assert_converged_residual,
 )
 
 __all__ = [
@@ -13,5 +15,6 @@ __all__ = [
     "save_pytree", "load_pytree", "save_orbax", "load_orbax",
     "JsonlLogger",
     "ritz_residual", "orthogonality_loss", "lanczos_health",
-    "cg_relative_residual",
+    "cg_relative_residual", "assert_converged",
+    "assert_converged_residual",
 ]

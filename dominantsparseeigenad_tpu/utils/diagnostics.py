@@ -56,3 +56,33 @@ def lanczos_health(op, res: LanczosResult) -> dict:
 def cg_relative_residual(matvec, b, x) -> jax.Array:
     """||b - A x|| / ||b|| for a linear-solve result."""
     return jnp.linalg.norm(b - matvec(x)) / jnp.linalg.norm(b)
+
+
+def assert_converged(info, *, name: str = "eigensolver"):
+    """``checkify`` guard on a solver's convergence report.
+
+    ``info`` is the :class:`~..ops.lanczos.LanczosInfo` returned by
+    ``dominant_eigh(..., with_info=True)`` / ``lanczos_adaptive``.  Wrap
+    the calling function with ``jax.experimental.checkify.checkify`` and
+    the error surfaces as a host-side exception (``err.throw()``) instead
+    of a silently wrong result — the guard the reference never had
+    (SURVEY.md §5 sanitizers row).
+    """
+    from jax.experimental import checkify
+
+    checkify.check(
+        info.converged > 0,
+        name + " did not converge: residual {res} after {k} steps",
+        res=info.residual, k=info.effective_k)
+
+
+def assert_converged_residual(resid, tol: float, *,
+                              name: str = "linear solve"):
+    """``checkify`` guard for a residual-vs-tolerance check (e.g. the
+    ``relative_residual`` from ``cg_info``/``solve_deflated_info`` — a
+    maxiter-hit leaves it above ``tol``)."""
+    from jax.experimental import checkify
+
+    checkify.check(resid <= tol,
+                   name + " residual {res} above tolerance {tol}",
+                   res=resid, tol=jnp.asarray(tol, jnp.result_type(resid)))

@@ -4,7 +4,8 @@ The reference logs nothing beyond prints + matplotlib (SURVEY.md §5).
 Here: a minimal JSONL logger for per-iteration solver records (residual
 norms, Ritz values, orthogonality loss, nnz/s) that plays well with jit —
 metrics are computed *inside* the compiled program as arrays (see
-``lanczos(..., with_info=True)``) and logged host-side afterwards.
+``dominant_eigh(..., with_info=True)`` / ``ops.cg.solve_deflated_info`` /
+``utils.diagnostics``) and logged host-side afterwards.
 """
 
 from __future__ import annotations
