@@ -229,12 +229,15 @@ def exact_reference():
     return e0(G), de0
 
 
-def wait_for_device(max_tries: int = 4, probe_timeout: int = 90) -> bool:
-    """The tunneled TPU service occasionally wedges for minutes after a
-    heavy job (see utils.timing docs); probe it in a subprocess with a
-    timeout and back off until it answers, so a driver-run bench doesn't
-    report a hang as a result.  Returns False if the device never
-    answered (callers fall back to CPU)."""
+def wait_for_device(max_tries: int = 12, probe_timeout: int = 75) -> bool:
+    """The tunneled TPU service occasionally wedges after a heavy job,
+    typically recovering in 2-30 min (utils.timing docs); probe it in a
+    subprocess with a timeout and back off until it answers, so a
+    driver-run bench doesn't report a hang as a result.  The probe
+    schedule spans ~18 min total (growing sleeps, capped at 180 s) —
+    sized to the observed recovery times, because a CPU-fallback result
+    forfeits ALL device-performance evidence for the round.  Returns
+    False only if the device never answered."""
     import subprocess
     probe = ("import jax, jax.numpy as jnp; "
              "print(float(jnp.sum(jnp.ones(8))))")
@@ -246,22 +249,36 @@ def wait_for_device(max_tries: int = 4, probe_timeout: int = 90) -> bool:
                            stderr=subprocess.DEVNULL)
             return True
         except Exception:
-            print(f"# device probe failed (attempt {attempt + 1}); "
-                  f"backing off", file=sys.stderr)
-            time.sleep(60)
+            if attempt == max_tries - 1:
+                break
+            delay = min(30 * (attempt + 1), 180)
+            print(f"# device probe failed (attempt {attempt + 1}/"
+                  f"{max_tries}); retrying in {delay}s", file=sys.stderr)
+            time.sleep(delay)
     return False
 
 
-def run_jax_staged(max_tries: int = 3, stage_timeout: int = 600):
+def run_jax_staged(max_tries: int = 3, stage_timeout: int = 900):
     """Run bench_jax in a subprocess with a hard timeout, retrying after
     back-off — a wedged remote device then costs minutes, not the whole
-    driver run."""
+    driver run.  CPU fallback is LAST resort only: it is taken after the
+    full probe schedule of every attempt has failed (~1 h in the worst
+    case), never on the first hiccup."""
     import subprocess
+    device_ever = False
     for attempt in range(max_tries):
         device_ok = wait_for_device()
+        device_ever = device_ever or device_ok
         env = dict(os.environ)
         if not device_ok:
-            # Wedged accelerator: still produce a valid (CPU vs CPU)
+            if attempt < max_tries - 1:
+                # Not the last attempt: keep waiting for the device
+                # rather than burning an attempt on a CPU run.
+                print("# device unavailable; deferring (no CPU fallback "
+                      "yet)", file=sys.stderr)
+                time.sleep(180)
+                continue
+            # Terminal fallback: still produce a valid (CPU vs CPU)
             # head-to-head rather than nothing.
             env["JAX_PLATFORMS"] = "cpu"
             print("# device unavailable -> CPU fallback for the jax stage",

@@ -40,6 +40,7 @@ from .ops import (
     EighMultiOptions,
     dominant_eig,
     EigOptions,
+    PowerInfo,
     COOOperator,
     BCOOOperator,
     BellOperator,

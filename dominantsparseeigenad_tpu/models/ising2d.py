@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.decomp import eigh_safe, svd_safe
+from ..ops.decomp import eigh_safe, eigh_safe_truncated, svd_safe
 from ..ops.eig import dominant_eig
 from ..ops.operators import DenseOperator
 
@@ -186,15 +186,35 @@ def trg_free_energy(beta, *, chi: int = 24, n_steps: int = 24,
 # ---------------------------------------------------------------------------
 
 def ctmrg_environment(beta, *, chi: int = 32, n_steps: int = 40,
-                      eps: float = _EPS, dtype=jnp.float64):
+                      eps: float = _EPS, dtype=jnp.float64,
+                      eigh_solver: str = "truncated", lanczos_k: int = 0):
     """Converged (C, E, T): corner (chi, chi) and edge (chi, D, chi).
 
     Each step absorbs a row+column into the corner, diagonalizes the
-    enlarged corner with :func:`eigh_safe`, truncates to the top chi
-    eigenvectors (by magnitude), and renormalizes the edge with the same
-    isometry — the reference's CTMRG loop with the package eigensolver
-    (SURVEY.md §3.3), differentiable end-to-end.
+    enlarged corner with the **framework's own truncated dominant
+    eigensolver**, truncates to the top chi eigenvectors, and
+    renormalizes the edge with the same isometry — the reference's CTMRG
+    loop runs through the package solver the same way (SURVEY.md §3.3),
+    differentiable end-to-end.
+
+    ``eigh_solver`` selects the renormalization decomposition:
+
+    * ``"truncated"`` (default): :func:`~..ops.decomp.eigh_safe_truncated`
+      — full dense ``eigh`` forward, tangents assembled only for the kept
+      columns (O(n²χ) instead of O(n³) derivative cost);
+    * ``"lanczos"``: :func:`~..ops.eigh.dominant_eigh_multi` — the block
+      Krylov solver with block-deflated IFT tangents (the matrix-free
+      tier; ``lanczos_k`` overrides its k budget, default 2χ+16);
+    * ``"full"``: :func:`~..ops.decomp.eigh_safe` + explicit
+      magnitude-sort truncation (round-1 behavior, kept as the oracle).
+
+    The corner fixed point is PSD (it is a Gram-like object of the
+    positive Boltzmann weight), so top-by-algebraic-value truncation
+    ("truncated"/"lanczos") and top-by-magnitude ("full") keep the same
+    subspace; the tests assert the free energies agree.
     """
+    if eigh_solver not in ("truncated", "lanczos", "full"):
+        raise ValueError(f"unknown eigh_solver {eigh_solver!r}")
     t = ising_vertex_tensor(beta, dtype=dtype)
     d = t.shape[0]
     # Free-boundary initialization.  Conventions (NW corner, top edge):
@@ -212,10 +232,19 @@ def ctmrg_environment(beta, *, chi: int = 32, n_steps: int = 40,
         cp = jnp.einsum("ab,alp,buq,ujil->piqj", c, e, e, t)
         cp = cp.reshape(chi_c * d, chi_c * d)
         cp = (cp + cp.T) / 2
-        w, v = eigh_safe(cp, eps)
-        order = jnp.argsort(-jnp.abs(w))[:chi_eff]
-        wk = w[order]
-        p = v[:, order]                      # isometry ((chi*d), chi_eff)
+        if eigh_solver == "truncated":
+            wk, p = eigh_safe_truncated(cp, chi_eff, eps)
+        elif eigh_solver == "lanczos":
+            from ..ops.eigh import dominant_eigh_multi
+            k = lanczos_k or min(cp.shape[0], 2 * chi_eff + 16)
+            wk, p = dominant_eigh_multi(
+                DenseOperator(cp), r=chi_eff, k=k, extreme="max",
+                gap_eps=max(eps, 1e-12))
+        else:
+            w, v = eigh_safe(cp, eps)
+            order = jnp.argsort(-jnp.abs(w))[:chi_eff]
+            wk = w[order]
+            p = v[:, order]                  # isometry ((chi*d), chi_eff)
         scale = jnp.max(jnp.abs(wk))
         c_new = jnp.diag(wk / scale)
         # Renormalize edge: E'[k, d, k'] =
@@ -243,7 +272,8 @@ def ctmrg_environment(beta, *, chi: int = 32, n_steps: int = 40,
 
 
 def ctmrg_free_energy(beta, *, chi: int = 32, n_steps: int = 40,
-                      eps: float = _EPS, dtype=jnp.float64):
+                      eps: float = _EPS, dtype=jnp.float64,
+                      eigh_solver: str = "truncated"):
     """ln Z per site from the converged CTMRG environment.
 
     kappa = A * B / (N_h * N_v): A is the 3x3 network with T in the
@@ -252,7 +282,7 @@ def ctmrg_free_energy(beta, *, chi: int = 32, n_steps: int = 40,
     the C/E normalizations.
     """
     c, e, t = ctmrg_environment(beta, chi=chi, n_steps=n_steps, eps=eps,
-                                dtype=dtype)
+                                dtype=dtype, eigh_solver=eigh_solver)
     # A: corners at NW,NE,SE,SW with edges between, T in the center
     # (clockwise; each edge's D-leg contracts the matching T leg).
     a = jnp.einsum("ab,buc,cd,dre,ef,fvg,gh,hla,urvl->",

@@ -16,7 +16,7 @@ from .cg import (cg, cg_info, minres, solve_spd, solve_symmetric,
                  solve_deflated, solve_general)
 from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
                    EighMultiOptions)
-from .eig import dominant_eig, EigOptions
+from .eig import dominant_eig, EigOptions, PowerInfo
 from .sparse import (COOOperator, BCOOOperator, BellOperator,
                      random_bell_operator)
 from .pallas_spmv import bell_spmv
@@ -38,7 +38,7 @@ __all__ = [
     "solve_deflated",
     "solve_general",
     "dominant_eigh", "dominant_eigh_multi", "EighOptions",
-    "EighMultiOptions", "dominant_eig", "EigOptions",
+    "EighMultiOptions", "dominant_eig", "EigOptions", "PowerInfo",
     "COOOperator", "BCOOOperator", "BellOperator", "random_bell_operator",
     "bell_spmv",
     "eigh_safe", "eigh_safe_truncated", "svd_safe", "dominant_svd",
