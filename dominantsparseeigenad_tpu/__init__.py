@@ -29,10 +29,12 @@ from .ops import (
     LanczosInfo,
     cg,
     cg_info,
+    bicgstab,
     minres,
     solve_spd,
     solve_symmetric,
     solve_deflated,
+    solve_deflated_info,
     solve_general,
     dominant_eigh,
     dominant_eigh_multi,

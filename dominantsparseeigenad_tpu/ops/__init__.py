@@ -12,8 +12,9 @@ from .operators import (
 )
 from .lanczos import (lanczos, lanczos_adaptive, lanczos_eigh,
                       power_iteration, LanczosResult, LanczosInfo)
-from .cg import (cg, cg_info, minres, solve_spd, solve_symmetric,
-                 solve_deflated, solve_general)
+from .cg import (cg, cg_info, bicgstab, minres, solve_spd,
+                 solve_symmetric, solve_deflated, solve_deflated_info,
+                 solve_general)
 from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
                    EighMultiOptions)
 from .eig import dominant_eig, EigOptions, PowerInfo
@@ -34,8 +35,8 @@ __all__ = [
     "as_operator",
     "lanczos", "lanczos_adaptive", "lanczos_eigh", "power_iteration",
     "LanczosResult", "LanczosInfo",
-    "cg", "cg_info", "minres", "solve_spd", "solve_symmetric",
-    "solve_deflated",
+    "cg", "cg_info", "bicgstab", "minres", "solve_spd",
+    "solve_symmetric", "solve_deflated", "solve_deflated_info",
     "solve_general",
     "dominant_eigh", "dominant_eigh_multi", "EighOptions",
     "EighMultiOptions", "dominant_eig", "EigOptions", "PowerInfo",
