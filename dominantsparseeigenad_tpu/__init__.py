@@ -44,6 +44,7 @@ from .ops import (
     EigOptions,
     PowerInfo,
     COOOperator,
+    CSROperator,
     BCOOOperator,
     BellOperator,
     random_bell_operator,

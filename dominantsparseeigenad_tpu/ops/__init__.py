@@ -18,7 +18,7 @@ from .cg import (cg, cg_info, bicgstab, minres, solve_spd,
 from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
                    EighMultiOptions)
 from .eig import dominant_eig, EigOptions, PowerInfo
-from .sparse import (COOOperator, BCOOOperator, BellOperator,
+from .sparse import (COOOperator, CSROperator, BCOOOperator, BellOperator,
                      random_bell_operator)
 from .pallas_spmv import bell_spmv
 from .decomp import eigh_safe, eigh_safe_truncated, svd_safe
@@ -40,7 +40,8 @@ __all__ = [
     "solve_general",
     "dominant_eigh", "dominant_eigh_multi", "EighOptions",
     "EighMultiOptions", "dominant_eig", "EigOptions", "PowerInfo",
-    "COOOperator", "BCOOOperator", "BellOperator", "random_bell_operator",
+    "COOOperator", "CSROperator", "BCOOOperator", "BellOperator",
+    "random_bell_operator",
     "bell_spmv",
     "eigh_safe", "eigh_safe_truncated", "svd_safe", "dominant_svd",
     "lanczos_restarted", "RestartState", "interior_eigh",

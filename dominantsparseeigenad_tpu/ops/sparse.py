@@ -97,6 +97,98 @@ class COOOperator(LinearOperator):
 
 
 @jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CSROperator(LinearOperator):
+    """CSR sparse operator (``indptr``/``indices``/``data``).
+
+    Completes the SURVEY §2 checklist's CSR/COO/BSR triple (BELL is the
+    BSR stand-in on TPU — see PARITY.md).  On TPU, scalar-irregular CSR
+    has no better lowering than the same gather + ``segment_sum`` COO
+    uses, so the matvec precomputes an explicit per-entry row index at
+    construction (static, non-differentiable aux data) and shares COO's
+    path; the format's value is CSR-shaped interoperability (scipy,
+    external pipelines) and O(1) row slicing on the host, not a distinct
+    kernel.  ``data`` is a differentiable pytree leaf like COO's
+    ``vals``; the performance tier remains :class:`BellOperator`.
+    """
+
+    indptr: jax.Array   # (n+1,) int32 — CSR row pointers
+    indices: jax.Array  # (nnz,) int32 — column indices
+    data: jax.Array     # (nnz,)
+    n: int
+    _rows: jax.Array = None  # (nnz,) int32, derived from indptr at build
+
+    def __post_init__(self):
+        if self._rows is None:
+            counts = np.diff(np.asarray(self.indptr))
+            rows = jnp.asarray(
+                np.repeat(np.arange(self.n), counts), jnp.int32)
+            object.__setattr__(self, "_rows", rows)
+
+    def matvec(self, x):
+        return jax.ops.segment_sum(self.data * x[self.indices],
+                                   self._rows, num_segments=self.n)
+
+    def rmatvec(self, x):
+        return jax.ops.segment_sum(self.data * x[self._rows],
+                                   self.indices, num_segments=self.n)
+
+    @property
+    def dim(self):
+        return self.n
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self):
+        return self.data.shape[0]
+
+    def to_dense(self):
+        return jnp.zeros((self.n, self.n), self.dtype).at[
+            self._rows, self.indices].add(self.data)
+
+    def to_coo(self) -> COOOperator:
+        return COOOperator(self._rows, self.indices, self.data, self.n)
+
+    def tree_flatten(self):
+        # Index arrays ride as (integer-dtype) leaves like COO's
+        # rows/cols — AD gives them symbolic-zero tangents; only ``data``
+        # is differentiable in practice.
+        return (self.indptr, self.indices, self.data, self._rows), self.n
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        indptr, indices, data, rows = children
+        return cls(indptr, indices, data, aux, rows)
+
+    @classmethod
+    def from_dense(cls, a, *, tol: float = 0.0):
+        a = np.asarray(a)
+        rows, cols = np.nonzero(np.abs(a) > tol)
+        order = np.lexsort((cols, rows))  # CSR invariant: row-major
+        rows, cols = rows[order], cols[order]
+        n = a.shape[0]
+        indptr = np.zeros(n + 1, np.int64)
+        np.add.at(indptr, rows + 1, 1)
+        indptr = np.cumsum(indptr)
+        return cls(jnp.asarray(indptr, jnp.int32),
+                   jnp.asarray(cols, jnp.int32),
+                   jnp.asarray(a[rows, cols]), n,
+                   jnp.asarray(rows, jnp.int32))
+
+    @classmethod
+    def from_scipy(cls, m):
+        """From any scipy.sparse matrix (converted to canonical CSR)."""
+        m = m.tocsr()
+        m.sum_duplicates()
+        return cls(jnp.asarray(m.indptr, jnp.int32),
+                   jnp.asarray(m.indices, jnp.int32),
+                   jnp.asarray(m.data), m.shape[0])
+
+
+@jax.tree_util.register_pytree_node_class
 class BCOOOperator(LinearOperator):
     """Operator backed by ``jax.experimental.sparse.BCOO`` (the library
     CSR/COO tier): XLA's native batched-COO matvec with AD support.

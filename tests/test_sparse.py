@@ -169,3 +169,42 @@ def test_bcoo_operator():
     idx = np.asarray(op.mat.indices)
     np.testing.assert_allclose(g, v[idx[:, 0]] * v[idx[:, 1]],
                                rtol=1e-6, atol=1e-10)
+
+
+def test_csr_matvec_and_roundtrips():
+    n = 96
+    a = _random_sparse_sym(n, seed=11)
+    from dominantsparseeigenad_tpu import CSROperator
+    op = CSROperator.from_dense(a)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal(n))
+    np.testing.assert_allclose(op.matvec(x), a @ x, rtol=1e-12)
+    np.testing.assert_allclose(op.rmatvec(x), a.T @ x, rtol=1e-12)
+    np.testing.assert_allclose(op.to_dense(), a, rtol=1e-12)
+    # scipy roundtrip + COO conversion agree
+    import scipy.sparse as sp
+    op2 = CSROperator.from_scipy(sp.csr_matrix(a))
+    np.testing.assert_allclose(op2.to_dense(), a, rtol=1e-12)
+    np.testing.assert_allclose(op.to_coo().to_dense(), a, rtol=1e-12)
+
+
+def test_csr_eigh_and_gradients_match_dense():
+    n = 64
+    a = _random_sparse_sym(n, seed=12)
+    from dominantsparseeigenad_tpu import CSROperator
+    op = CSROperator.from_dense(a)
+
+    def loss_csr(data):
+        o = CSROperator(op.indptr, op.indices, data, n, op._rows)
+        lam, v = dominant_eigh(o, k=n, extreme="min")
+        return lam + jnp.sum(v ** 4)
+
+    def loss_dense(m):
+        lam, v = dominant_eigh(DenseOperator(m), k=n, extreme="min")
+        return lam + jnp.sum(v ** 4)
+
+    # jit through the pytree boundary (indices ride as int leaves)
+    g_csr = jax.jit(jax.grad(loss_csr))(op.data)
+    g_dense = jax.grad(loss_dense)(jnp.asarray(a))
+    np.testing.assert_allclose(
+        g_csr, g_dense[np.asarray(op._rows), np.asarray(op.indices)],
+        rtol=1e-6, atol=1e-10)
