@@ -2,8 +2,11 @@
 
 Times free energy + d(lnZ)/dbeta (energy) through the TRG flow:
 
-* ours: this framework's `trg_free_energy` under `jax.jit` +
-  `value_and_grad` (default backend; f64 on CPU, f32 on TPU);
+* ours: this framework's `trg_free_energy` under `jax.jit` — **on the
+  real TPU chip in f32 by default** (the scan-phase flow compiles in
+  ~10 s there; the growth-phase matmuls run at HIGHEST precision so f32
+  matches f64 to ~1e-5), falling back to CPU f64 if the device is
+  unreachable;
 * baseline: the reference's approach in eager torch — the same Levin-Nave
   TRG with `torch.linalg.svd` splits, differentiated by torch autograd
   through the whole flow (reference `examples/CTMRG`-style; written
@@ -13,11 +16,14 @@ Accuracy asserted against the Onsager integral for both.  Prints one
 JSON line like bench.py.
 
 Run: python benchmarks/ising2d_bench.py --chi 30 --steps 20
+The jax stage runs in a subprocess so a wedged TPU tunnel cannot hang
+the bench: --platform {auto,tpu,cpu} (auto = try TPU, fall back).
 """
 
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -25,29 +31,66 @@ CHI = 30
 STEPS = 20
 BETA = 0.5
 
+TPU_STAGE_TIMEOUT = 420  # generous: ~15 s compile + tunnel round-trips
 
-def bench_ours():
+
+def run_ours_stage(platform):
+    """Executed in a subprocess: one platform, prints one JSON line."""
     import jax
-    # SVD/eigh-bound workload: CPU f64 is the right venue for both sides
-    # (TPU eigh of many small matrices is compile-heavy and f64 is
-    # emulated there).
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from dominantsparseeigenad_tpu.models import trg_free_energy
 
-    dtype = jnp.float64
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.float32 if on_tpu else jnp.float64
 
-    f = jax.jit(jax.value_and_grad(
-        lambda b: trg_free_energy(b, chi=CHI, n_steps=STEPS, dtype=dtype)))
-    out = tuple(float(x) for x in f(jnp.asarray(BETA, dtype)))  # warm
+    def lnz_and_grad(b):
+        # Forward-mode: scalar->scalar, and it avoids transposing the
+        # scanned flow (see models/ising2d.py on nested custom_jvp rules).
+        f = lambda bb: trg_free_energy(bb, chi=CHI, n_steps=STEPS, dtype=dtype)
+        val, d1 = jax.jvp(f, (b,), (jnp.ones_like(b),))
+        return jnp.stack([val, d1])
+
+    fj = jax.jit(lnz_and_grad)
+    import numpy as np
+
+    out = np.asarray(fj(jnp.asarray(BETA, dtype)))  # warm (compile)
     ts = []
-    for i in range(3):
-        b = jnp.asarray(BETA + i * 1e-7, dtype)
+    for i in range(5):
+        b = jnp.asarray(BETA + i * 1e-6, dtype)
         t0 = time.perf_counter()
-        out = tuple(float(x) for x in f(b))
+        out = np.asarray(fj(b))  # host transfer = true device sync
         ts.append(time.perf_counter() - t0)
-    return min(ts), out[0], out[1]
+    print(json.dumps({
+        "t": min(ts), "lnz": float(out[0]), "g": float(out[1]),
+        "platform": "tpu" if on_tpu else "cpu",
+    }))
+
+
+def bench_ours(platform):
+    """Run the jax stage in a subprocess; returns (t, lnz, g, platform)."""
+    tries = ["tpu", "cpu"] if platform == "auto" else [platform]
+    last_err = None
+    for p in tries:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--_stage", "ours", "--platform", p,
+                 "--chi", str(CHI), "--steps", str(STEPS)],
+                capture_output=True, text=True,
+                timeout=TPU_STAGE_TIMEOUT if p == "tpu" else 600,
+            )
+            if r.returncode == 0:
+                rec = json.loads(r.stdout.strip().splitlines()[-1])
+                return rec["t"], rec["lnz"], rec["g"], rec["platform"]
+            last_err = r.stderr[-500:]
+        except subprocess.TimeoutExpired:
+            last_err = f"{p} stage timed out ({TPU_STAGE_TIMEOUT}s)"
+        print(f"# ours[{p}] failed: {last_err}", file=sys.stderr)
+    raise RuntimeError(f"all platforms failed: {last_err}")
 
 
 def bench_torch():
@@ -111,12 +154,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chi", type=int, default=CHI)
     ap.add_argument("--steps", type=int, default=STEPS)
+    ap.add_argument("--platform", default="auto",
+                    choices=["auto", "tpu", "cpu"])
+    ap.add_argument("--_stage", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
     globals()["CHI"], globals()["STEPS"] = args.chi, args.steps
 
+    if args._stage == "ours":
+        run_ours_stage("cpu" if args.platform == "cpu" else "tpu")
+        return
+
     import numpy as np
     t_ref, lnz_t, g_t = bench_torch()
-    t_ours, lnz_j, g_j = bench_ours()
+    t_ours, lnz_j, g_j, plat = bench_ours(args.platform)
 
     # Onsager oracle (numpy copy of the quadrature).
     x, wq = np.polynomial.legendre.leggauss(128)
@@ -128,7 +178,7 @@ def main():
         np.log(c2 - s2 * (np.cos(tt)[:, None] + np.cos(tt)[None, :]))
     ) / (8 * np.pi ** 2)
 
-    print(f"# ours {t_ours:.3f}s (lnZ {lnz_j:.6f}, dlnZ {g_j:.4f})  "
+    print(f"# ours[{plat}] {t_ours:.3f}s (lnZ {lnz_j:.6f}, dlnZ {g_j:.4f})  "
           f"torch {t_ref:.3f}s (lnZ {lnz_t:.6f}, dlnZ {g_t:.4f})  "
           f"onsager {exact:.6f}", file=sys.stderr)
     assert abs(lnz_j - exact) / abs(exact) < 1e-3
@@ -147,6 +197,7 @@ def main():
         "value": round(t_ours, 4),
         "unit": "s",
         "vs_baseline": round(t_ref / t_ours, 2),
+        "platform": plat,
         "baseline_grad_finite": bool(np.isfinite(g_t)),
     }))
 

@@ -115,7 +115,10 @@ def _split(m, chi, eps=_EPS, method: str = "gram"):
         # with the both-branches-safe where() pattern: sqrt at 0 has an
         # infinite derivative, and a plain clamp still back-propagates it.
         w_max = jnp.maximum(w[-1], jnp.finfo(m.dtype).tiny)
-        keep = w_top > w_max * 1e-24
+        # Relative cutoff: 1e-24 suits f64; in f32 it underflows against
+        # w_max, keeping near-zero modes whose second sqrt-derivative
+        # (~w^-1.5) overflows — floor it at machine-eps².
+        keep = w_top > w_max * max(1e-24, float(jnp.finfo(m.dtype).eps) ** 2)
         wc = jnp.where(keep, w_top, w_max)
         s = jnp.where(keep, jnp.sqrt(wc), 0.0)
         sq = jnp.where(keep, jnp.sqrt(jnp.sqrt(wc)), 0.0)
@@ -133,8 +136,26 @@ def _split(m, chi, eps=_EPS, method: str = "gram"):
         u, s, v = dominant_svd(m, r=chi, k=k, gap_eps=eps)
         sq = jnp.sqrt(s)
         return u * sq[None, :], v * sq[None, :]
+    # Randomized subspace sketch: matmul-only forward (MXU-friendly; the
+    # TPU path's fast tier once chi << dim).  Falls through to the dense
+    # SVD when the window is not actually truncating.
+    if method == "subspace" and 2 * chi <= m.shape[0]:
+        from ..ops.decomp import svd_safe_truncated
+        u, s, vt = svd_safe_truncated(m, chi, eps)
+        s_ref = jnp.maximum(s[0], jnp.finfo(m.dtype).tiny)
+        keep = s > s_ref * jnp.finfo(m.dtype).eps
+        sq = jnp.where(keep, jnp.sqrt(jnp.where(keep, s, s_ref)), 0.0)
+        return u * sq[None, :], vt.T * sq[None, :]
     u, s, vt = svd_safe(m, eps)
-    sq = jnp.sqrt(s[:chi])
+    # Rank-deficient early-step matrices carry EXACT zero singular values
+    # inside the kept window (TPU's f32 svd returns true zeros where
+    # LAPACK leaves ~1e-12 dust): sqrt has an infinite derivative at 0,
+    # so guard with the both-branches-safe where() pattern, mirroring the
+    # gram path above.
+    s_top = s[:chi]
+    s_ref = jnp.maximum(s[0], jnp.finfo(m.dtype).tiny)
+    keep = s_top > s_ref * jnp.finfo(m.dtype).eps
+    sq = jnp.where(keep, jnp.sqrt(jnp.where(keep, s_top, s_ref)), 0.0)
     return u[:, :chi] * sq[None, :], vt[:chi].T * sq[None, :]
 
 
@@ -161,19 +182,62 @@ def trg_step(t, chi, eps=_EPS, method: str = "gram"):
 
 def trg_free_energy(beta, *, chi: int = 24, n_steps: int = 24,
                     eps: float = _EPS, dtype=jnp.float64,
-                    split_method: str = "gram"):
+                    split_method: str = "auto"):
     """ln Z per site of the 2D Ising model via TRG; differentiable in beta.
 
     After ``n_steps`` halvings the residual lattice of N/2^n sites is
     closed with the single-site torus trace.
+
+    ``split_method="auto"`` resolves by dtype: ``"gram"`` in f64 (2x
+    faster on CPU), ``"subspace"`` in f32 — squaring the plaquette
+    matrix pushes the kept tail of the spectrum below f32 roundoff once
+    chi ≳ 20 (σ_chi/σ_1 ~ 1e-8 squares to 1e-16 < f32 eps) so the Gram
+    split reconstructs noise there, while the randomized-sketch
+    truncated SVD (:func:`~..ops.decomp.svd_safe_truncated`) is both
+    the fastest TPU tier (matmul-only forward: 80 ms vs 1.04 s for the
+    full-SVD flow at chi=30) and the most f32-accurate (its reductions
+    ride HIGHEST-precision matmuls instead of the TPU svd's internal
+    f32 QR sweeps: lnZ err 3e-5 vs 3e-4).
     """
+    if split_method == "auto":
+        split_method = "gram" if jnp.finfo(dtype).bits >= 64 else "subspace"
+    # TPU's default matmul precision is bf16 (MXU passthrough), which
+    # costs ~3e-3 absolute in lnZ through the iterated contractions;
+    # these matrices are tiny (<= chi^2 square), so full-f32 multiply
+    # passes are free.  No-op on CPU f64.
+    with jax.default_matmul_precision("highest"):
+        return _trg_free_energy_impl(beta, chi=chi, n_steps=n_steps, eps=eps,
+                                     dtype=dtype, split_method=split_method)
+
+
+def _trg_free_energy_impl(beta, *, chi, n_steps, eps, dtype, split_method):
     t = ising_vertex_tensor(beta, dtype=dtype)
     logz = jnp.zeros((), dtype=dtype)
-    for i in range(n_steps):
+    # Growth phase: the bond dimension doubles-then-caps (2 -> 4 -> 16 ->
+    # chi), so each of these few steps has a distinct shape and is
+    # Python-unrolled.  Once d == min(chi, d*d) the step is shape-stable
+    # and the remaining flow runs as ONE lax.scan body — compile time is
+    # O(1) in n_steps instead of O(n_steps) svd compilations (the TPU
+    # backend pays ~40 s per distinct decomposition shape).
+    used = 0
+    while used < n_steps and t.shape[0] != min(chi, t.shape[0] ** 2):
         norm = jnp.max(jnp.abs(t))
         t = t / norm
-        logz = logz + jnp.log(norm) / (2 ** i)
+        logz = logz + jnp.log(norm) / (2 ** used)
         t = trg_step(t, chi, eps, split_method)
+        used += 1
+
+    if used < n_steps:
+        def scan_body(carry, _):
+            t, logz, w = carry
+            norm = jnp.max(jnp.abs(t))
+            t = t / norm
+            logz = logz + jnp.log(norm) * w
+            return (trg_step(t, chi, eps, split_method), logz, w * 0.5), None
+
+        w0 = jnp.asarray(1.0 / (2 ** used), dtype)
+        (t, logz, _), _ = jax.lax.scan(
+            scan_body, (t, logz, w0), None, length=n_steps - used)
     norm = jnp.max(jnp.abs(t))
     t = t / norm
     logz = logz + jnp.log(norm) / (2 ** n_steps)
@@ -281,15 +345,17 @@ def ctmrg_free_energy(beta, *, chi: int = 32, n_steps: int = 40,
     edge pair — the standard corner-transfer expression, invariant under
     the C/E normalizations.
     """
-    c, e, t = ctmrg_environment(beta, chi=chi, n_steps=n_steps, eps=eps,
-                                dtype=dtype, eigh_solver=eigh_solver)
-    # A: corners at NW,NE,SE,SW with edges between, T in the center
-    # (clockwise; each edge's D-leg contracts the matching T leg).
-    a = jnp.einsum("ab,buc,cd,dre,ef,fvg,gh,hla,urvl->",
-                   c, e, c, e, c, e, c, e, t)
-    b = jnp.trace(c @ c @ c @ c)
-    nh = jnp.einsum("ab,buc,cd,de,euf,fa->", c, e, c, c, e, c)
-    return jnp.log(a) + jnp.log(b) - 2.0 * jnp.log(nh)
+    # Full-f32 multiply passes on TPU (see trg_free_energy for why).
+    with jax.default_matmul_precision("highest"):
+        c, e, t = ctmrg_environment(beta, chi=chi, n_steps=n_steps, eps=eps,
+                                    dtype=dtype, eigh_solver=eigh_solver)
+        # A: corners at NW,NE,SE,SW with edges between, T in the center
+        # (clockwise; each edge's D-leg contracts the matching T leg).
+        a = jnp.einsum("ab,buc,cd,dre,ef,fvg,gh,hla,urvl->",
+                       c, e, c, e, c, e, c, e, t)
+        b = jnp.trace(c @ c @ c @ c)
+        nh = jnp.einsum("ab,buc,cd,de,euf,fa->", c, e, c, c, e, c)
+        return jnp.log(a) + jnp.log(b) - 2.0 * jnp.log(nh)
 
 
 def transfer_operator(c, e, t) -> DenseOperator:
@@ -354,6 +420,21 @@ def correlation_length(beta, *, chi: int = 16, n_steps: int = 30,
 # Observables (differentiate lnZ through the contraction)
 # ---------------------------------------------------------------------------
 
+def _value_d1_d2(f, x):
+    """(f(x), f'(x), f''(x)) for scalar ``f`` by nested forward-mode.
+
+    One jvp inside another: the outer jvp of ``z -> (f(z), f'(z))``
+    yields tangents ``(f'(x), f''(x))`` — value, first and second
+    derivative in a single traced pass, with no scan transposition (see
+    :func:`ising_observables` for why that matters here).
+    """
+    one = jnp.ones_like(x)
+    def g(z):
+        return jax.jvp(f, (z,), (one,))
+    (val, d1), (_, d2) = jax.jvp(g, (x,), (one,))
+    return val, d1, d2
+
+
 def ising_observables(beta, *, method: str = "trg", chi: int = 24,
                       n_steps: int = 24, dtype=jnp.float64):
     """(lnZ/N, energy per site, specific heat per site) at ``beta``.
@@ -367,6 +448,14 @@ def ising_observables(beta, *, method: str = "trg", chi: int = 24,
     f = {"trg": trg_free_energy, "ctmrg": ctmrg_free_energy}[method]
     lnz_fn = lambda b: f(b, chi=chi, n_steps=n_steps, dtype=dtype)
     beta = jnp.asarray(beta, dtype=dtype)
-    lnz, dlnz = jax.value_and_grad(lnz_fn)(beta)
-    d2lnz = jax.grad(jax.grad(lnz_fn))(beta)
-    return lnz, -dlnz, beta ** 2 * d2lnz
+    # Forward-over-forward, NOT grad(grad(...)): the flows scan over
+    # renormalization steps whose bodies call the degeneracy-safe
+    # decompositions (custom_jvp rules that nest another custom_jvp call
+    # in their tangent body).  Transposing a lax.scan at second order
+    # silently DROPS such nested custom rules and falls back to the
+    # builtin eigh/svd derivative, which divides by exact-degenerate
+    # gaps -> NaN (TRG plaquette matrices carry exact symmetry
+    # multiplets).  Pure jvp-of-jvp never transposes the scan, keeps the
+    # nested rules, and is also the efficient mode for scalar->scalar.
+    lnz, d1, d2lnz = _value_d1_d2(lnz_fn, beta)
+    return lnz, -d1, beta ** 2 * d2lnz

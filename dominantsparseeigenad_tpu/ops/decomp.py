@@ -23,6 +23,18 @@ Implemented as a ``jax.custom_jvp`` whose tangent rule is built from
 plain linear algebra on the primal eigenbasis — so it transposes (reverse
 mode) and re-differentiates (second derivatives for the specific heat)
 like everything else in this framework.
+
+.. warning:: **lax.scan + second-order reverse mode.**  Each rule below
+   re-enters its own protected decomposition (e.g. ``_eigh_safe_jvp``
+   calls ``eigh_safe``) so that *re-differentiating the rule* stays
+   degeneracy-safe.  JAX currently drops such *nested* custom_jvp rules
+   when it transposes a ``lax.scan`` whose body contains them — verified
+   empirically (2026-08, jax 0.6-era): ``grad(grad(scan(body)))`` falls
+   back to the builtin eigh/svd tangent (``1/gap`` — NaN at exact
+   degeneracy) while the unrolled loop honors the nested rule.  Pure
+   forward-over-forward (``jvp`` of ``jvp``) never transposes the scan
+   and keeps the rules; use it for second derivatives of scanned
+   renormalization flows (see ``models/ising2d.py:_value_d1_d2``).
 """
 
 from __future__ import annotations
@@ -31,6 +43,20 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _eps_floor(eps: float, dtype) -> float:
+    """Dtype-aware broadening floor.
+
+    Second-order AD of the Lorentzian factor evaluates up to
+    ``(gap² + eps²)³`` in the working dtype: the default f64 scale
+    (1e-12) underflows that denominator in f32 (1e-72 -> 0 -> 0/0 NaN).
+    8x the machine epsilon keeps eps⁶ above the smallest normal in both
+    f32 (~1e-6 -> 1e-36 > 1.2e-38) and f64 (where it is ~1.8e-15, below
+    the 1e-12 default, i.e. a no-op).
+    """
+    return max(float(eps), 8.0 * float(np.finfo(dtype).eps))
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(1,))
@@ -50,6 +76,7 @@ def eigh_safe(a: jax.Array, eps: float = 1e-12):
 def _eigh_safe_jvp(eps, primals, tangents):
     (a,) = primals
     (da,) = tangents
+    eps = _eps_floor(eps, a.dtype)
     w, v = eigh_safe(a, eps)
     da = (da + da.T.conj()) / 2
     vt_da_v = v.T.conj() @ da @ v
@@ -81,6 +108,7 @@ def eigh_safe_truncated(a: jax.Array, r: int, eps: float = 1e-12):
 def _eigh_safe_truncated_jvp(r, eps, primals, tangents):
     (a,) = primals
     (da,) = tangents
+    eps = _eps_floor(eps, a.dtype)
     da = (da + da.T.conj()) / 2
     # eigh_safe (not raw eigh): second-order AD differentiates THIS rule's
     # body, so the inner decomposition needs safe derivatives too.
@@ -101,6 +129,86 @@ def _eigh_safe_truncated_jvp(r, eps, primals, tangents):
     f = jnp.where(rows == n - 1 - cols, 0.0, f)
     dv = v_full @ (f * m)
     return (w, v), (dw, dv)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3, 4))
+def svd_safe_truncated(a: jax.Array, r: int, eps: float = 1e-12,
+                       oversample: int = 16, power_iters: int = 2):
+    """Top-r SVD of a (possibly rectangular) matrix via randomized
+    subspace iteration, with degeneracy-safe derivatives.
+
+    The forward is Halko-Martinsson-Tropp: sketch ``Y = (A Aᵀ)^q A Ω``
+    with a fixed-seed Gaussian ``Ω (m, r+p)``, orthonormalize, and take
+    the exact SVD of the small ``(r+p, m)`` projection.  Everything
+    except one small QR and one small SVD is a matmul — on TPU this
+    replaces the O(n³) sequential full SVD with MXU work; rapidly
+    decaying spectra (TRG/CTMRG renormalization matrices) are the
+    best case for the sketch's error bound (~σ_{r+p}).
+
+    The JVP is the *truncated* SVD tangent rule: kept-block rotations
+    through the Lorentzian-broadened ``1/(σ_j² - σ_i²)`` (as
+    :func:`svd_safe`) plus the orthogonal-complement terms
+    ``(I - UUᵀ) dA V Σ⁻¹`` / ``(I - VVᵀ) dAᵀ U Σ⁻¹`` — it needs only
+    the kept factors, so the tangent cost is O(n m r).
+
+    Returns ``(u, s, vt)`` with ``u (n, r)``, ``s (r,)`` descending,
+    ``vt (r, m)``.
+    """
+    n, m = a.shape
+    k = min(r + oversample, min(n, m))
+    # Fixed-key Gaussian sketch: deterministic, and small enough that
+    # XLA constant-folding it is harmless (n*k floats).
+    omega = jax.random.normal(jax.random.PRNGKey(0x5eed), (m, k), a.dtype)
+    y = a @ omega
+    for _ in range(power_iters):
+        # Re-orthonormalize between passes for numerical stability of
+        # the power iteration (subspace, not values, so cheap QR).
+        q, _ = jnp.linalg.qr(y)
+        y = a @ (a.T.conj() @ q)
+    q, _ = jnp.linalg.qr(y)                      # (n, k) orthonormal
+    b = q.T.conj() @ a                           # (k, m) small projection
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = q @ ub
+    return u[:, :r], s[:r], vt[:r]
+
+
+@svd_safe_truncated.defjvp
+def _svd_safe_truncated_jvp(r, eps, oversample, power_iters,
+                            primals, tangents):
+    (a,) = primals
+    (da,) = tangents
+    eps = _eps_floor(eps, a.dtype)
+    n, m = a.shape
+    k = min(r + oversample, min(n, m))
+    # Recompute the SKETCH-WINDOW factors (k = r+p triplets): rotations
+    # are then exact (broadened) for couplings to everything the sketch
+    # resolved, and the 1/σ complement approximation only covers modes
+    # below σ_k ~ σ_1·O(1e-8) — without this, quasi-degenerate pairs
+    # straddling the r-cut (TRG truncation boundaries) cost ~1% in
+    # second derivatives.
+    uk, sk, vtk = svd_safe_truncated(a, k, eps, 0, power_iters)
+    vk = vtk.T.conj()
+    u, s, v = uk[:, :r], sk[:r], vk[:, :r]
+    da_v = da @ v                               # (n, r)
+    dat_u = da.conj().T @ u                     # (m, r)
+    p1 = uk.T.conj() @ da_v                     # (k, r): <u_j, dA v_i>
+    p2 = vk.T.conj() @ dat_u                    # (k, r): <v_j, dAᵀ u_i>
+    ds = jnp.real(jnp.diagonal(p1[:r]))
+    gap = s[None, :] ** 2 - sk[:, None] ** 2    # gap[j, i] = σ_i² - σ_j²
+    f = gap / (gap * gap + eps * eps)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, r), 1)
+    f = jnp.where(rows == cols, 0.0, f)
+    du = uk @ (f * (p1 * s[None, :] + sk[:, None] * p2))
+    dv = vk @ (f * (p2 * s[None, :] + sk[:, None] * p1))
+    # Orthogonal-complement terms for modes beyond the sketch window;
+    # guard σ⁻¹ against (near-)zero kept values.
+    s_ref = jnp.maximum(s[0], jnp.finfo(s.dtype).tiny)
+    ok = s > s_ref * jnp.finfo(s.dtype).eps
+    sinv = jnp.where(ok, 1.0 / jnp.where(ok, s, 1.0), 0.0)
+    du = du + (da_v - uk @ (uk.T.conj() @ da_v)) * sinv[None, :]
+    dv = dv + (dat_u - vk @ (vk.T.conj() @ dat_u)) * sinv[None, :]
+    return (u, s, v.conj().T), (du, ds, dv.conj().T)
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(1,))
@@ -126,6 +234,7 @@ def svd_safe(a: jax.Array, eps: float = 1e-12):
 def _svd_safe_jvp(eps, primals, tangents):
     (a,) = primals
     (da,) = tangents
+    eps = _eps_floor(eps, a.dtype)
     u, s, vt = svd_safe(a, eps)
     v = vt.T
     dp = u.T @ da @ v                       # U^T dA V

@@ -81,6 +81,54 @@ def test_svd_safe_reconstruction():
     assert bool(jnp.all(jnp.diff(s) <= 1e-12))  # descending
 
 
+def test_svd_safe_truncated_forward_and_grad():
+    """Randomized-sketch truncated SVD: top-r values/vectors match the
+    dense SVD on a decaying spectrum; first derivative matches FD; second
+    derivative is finite and close to the full-rule value."""
+    from dominantsparseeigenad_tpu.ops.decomp import svd_safe_truncated
+    rng = np.random.default_rng(5)
+    n, r = 60, 8
+    q1, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    q2, _ = np.linalg.qr(rng.standard_normal((n, 40)))
+    s_true = np.exp(-0.4 * np.arange(40))
+    a0 = jnp.asarray(q1[:, :40] * s_true[None, :] @ q2.T)   # (n, 40) rect
+
+    u, s, vt = svd_safe_truncated(a0, r)
+    np.testing.assert_allclose(s, s_true[:r], rtol=1e-10)
+    su, sv, svt = np.linalg.svd(np.asarray(a0), full_matrices=False)
+    # column spans match up to sign
+    np.testing.assert_allclose(np.abs(np.einsum("ni,ni->i", su[:, :r], u)),
+                               np.ones(r), rtol=1e-8)
+
+    def f(x):
+        u, s, vt = svd_safe_truncated(a0 * x + 1e-3 * x * x * jnp.ones_like(a0), r)
+        sq = jnp.sqrt(s)
+        return jnp.sum(((u * sq[None]) @ (sq[:, None] * vt)) ** 3)
+
+    x = jnp.float64(1.0)
+    d1 = float(jax.grad(f)(x))
+    h = 1e-5
+    fd = (float(f(x + h)) - float(f(x - h))) / (2 * h)
+    np.testing.assert_allclose(d1, fd, rtol=1e-6)
+    d2 = float(jax.grad(jax.grad(f))(x))
+    assert np.isfinite(d2)
+
+
+def test_trg_split_methods_agree():
+    """The f32/TPU tier (subspace sketch) must track the f64 gram split
+    in value and first derivative."""
+    b = jnp.float64(0.44)
+    vals = {}
+    for method in ("gram", "subspace"):
+        f = lambda bb: trg_free_energy(bb, chi=16, n_steps=14,
+                                       split_method=method)
+        vals[method] = jax.jvp(f, (b,), (jnp.float64(1.0),))
+    np.testing.assert_allclose(vals["subspace"][0], vals["gram"][0],
+                               rtol=1e-9)
+    np.testing.assert_allclose(vals["subspace"][1], vals["gram"][1],
+                               rtol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # free energy vs Onsager
 # ---------------------------------------------------------------------------
