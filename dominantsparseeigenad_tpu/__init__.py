@@ -52,6 +52,7 @@ from .ops import (
     eigh_safe,
     eigh_safe_truncated,
     svd_safe,
+    svd_safe_truncated,
     dominant_svd,
     lanczos_restarted,
     interior_eigh,

@@ -21,7 +21,8 @@ from .eig import dominant_eig, EigOptions, PowerInfo
 from .sparse import (COOOperator, CSROperator, BCOOOperator, BellOperator,
                      random_bell_operator)
 from .pallas_spmv import bell_spmv
-from .decomp import eigh_safe, eigh_safe_truncated, svd_safe
+from .decomp import (eigh_safe, eigh_safe_truncated, svd_safe,
+                     svd_safe_truncated)
 from .svd import dominant_svd
 from .restart import lanczos_restarted, RestartState
 from .interior import interior_eigh
@@ -43,7 +44,8 @@ __all__ = [
     "COOOperator", "CSROperator", "BCOOOperator", "BellOperator",
     "random_bell_operator",
     "bell_spmv",
-    "eigh_safe", "eigh_safe_truncated", "svd_safe", "dominant_svd",
+    "eigh_safe", "eigh_safe_truncated", "svd_safe",
+    "svd_safe_truncated", "dominant_svd",
     "lanczos_restarted", "RestartState", "interior_eigh",
     "fidelity_susceptibility", "energy_curvature", "spectral_function",
 ]

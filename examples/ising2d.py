@@ -33,7 +33,12 @@ def main():
     ap.add_argument("--bmin", type=float, default=0.30)
     ap.add_argument("--bmax", type=float, default=0.60)
     ap.add_argument("--log", type=str, default=None)
+    ap.add_argument("--f32", action="store_true",
+                    help="run the flow in f32 (the TPU-native dtype; "
+                         "tracks f64 to ~1e-4 via the subspace split and "
+                         "HIGHEST-precision matmuls)")
     args = ap.parse_args()
+    dtype = jnp.float32 if args.f32 else jnp.float64
 
     ex = lambda b: onsager_free_energy(b, n_quad=256)
     ex_u = jax.grad(ex)
@@ -45,7 +50,8 @@ def main():
           f"{'err(lnZ)':>9} {'err(u)':>9} {'err(c_v)':>9}")
     for b in jnp.linspace(args.bmin, args.bmax, args.points):
         lnz, u, cv = ising_observables(float(b), method=args.method,
-                                       chi=args.chi, n_steps=args.steps)
+                                       chi=args.chi, n_steps=args.steps,
+                                       dtype=dtype)
         lnz_e = float(ex(float(b)))
         u_e = -float(ex_u(jnp.float64(b)))
         cv_e = float(b) ** 2 * float(ex_c(jnp.float64(b)))

@@ -38,7 +38,7 @@ def test_solve_spd_gradients():
     def f(a, b):
         return solve_spd(lambda v: a @ v, b, tol=1e-13)
 
-    check_grads(f, (a, b), order=2, modes=["fwd", "rev"],
+    check_grads(jax.jit(f), (a, b), order=2, modes=["fwd", "rev"],
                 atol=1e-5, rtol=1e-5)
 
 
@@ -94,7 +94,7 @@ def test_solve_general_gradients():
         return solve_general(lambda v: a @ v, lambda v: a.T @ v, b,
                              tol=1e-13)
 
-    check_grads(f, (a, b), order=2, modes=["fwd", "rev"],
+    check_grads(jax.jit(f), (a, b), order=2, modes=["fwd", "rev"],
                 atol=2e-4, rtol=2e-4)
 
 
@@ -205,5 +205,5 @@ def test_solve_general_bicgstab_gradients():
                           tol=1e-13)
         return jnp.sum(x ** 3)
 
-    check_grads(loss, (jnp.float64(0.1),), order=2, modes=["fwd", "rev"],
+    check_grads(jax.jit(loss), (jnp.float64(0.1),), order=2, modes=["fwd", "rev"],
                 atol=1e-5, rtol=1e-5)

@@ -66,7 +66,7 @@ def test_check_grads_order2():
         lam, _, _ = dominant_eig(a, num_iters=600, tol=1e-13)
         return lam
 
-    check_grads(lam_fn, (a,), order=2, modes=["fwd", "rev"],
+    check_grads(jax.jit(lam_fn), (a,), order=2, modes=["fwd", "rev"],
                 atol=2e-4, rtol=2e-4)
 
 
@@ -79,7 +79,7 @@ def test_check_grads_eigenvector_functional():
         lam, l, r = dominant_eig(a, num_iters=600, tol=1e-13)
         return (w @ r) ** 2 + (w @ l) * lam
 
-    check_grads(f, (a,), order=1, modes=["fwd", "rev"],
+    check_grads(jax.jit(f), (a,), order=1, modes=["fwd", "rev"],
                 atol=2e-4, rtol=2e-4)
 
 

@@ -54,7 +54,7 @@ def test_check_grads_order2_eigenvalue():
                                tol=1e-13)
         return lam
 
-    check_grads(lam_fn, (a,), order=2, modes=["fwd", "rev"],
+    check_grads(jax.jit(lam_fn), (a,), order=2, modes=["fwd", "rev"],
                 atol=1e-5, rtol=1e-5)
 
 
@@ -71,7 +71,7 @@ def test_check_grads_eigenvector_functional():
         # gauge-invariant functional (even in v)
         return (w @ v) ** 2 + lam ** 2
 
-    check_grads(f, (a,), order=2, modes=["fwd", "rev"],
+    check_grads(jax.jit(f), (a,), order=2, modes=["fwd", "rev"],
                 atol=2e-4, rtol=2e-4)
 
 
@@ -85,7 +85,7 @@ def test_max_extreme_gradients():
                                tol=1e-13)
         return lam
 
-    check_grads(f, (a,), order=2, modes=["fwd", "rev"],
+    check_grads(jax.jit(f), (a,), order=2, modes=["fwd", "rev"],
                 atol=1e-5, rtol=1e-5)
 
 

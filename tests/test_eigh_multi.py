@@ -52,7 +52,7 @@ def test_multi_eigenvalue_gradients():
 
 
 def test_multi_eigenvector_gradients_fd():
-    n, r = 40, 3
+    n, r = 24, 3
     a = _sym(n, seed=2)
 
     def loss(a):
@@ -106,15 +106,15 @@ def test_check_grads_order2_dominant_eigh():
                                tol=1e-13)
         return lam + jnp.sum(v ** 4)
 
-    check_grads(f, (a,), order=2, modes=("fwd", "rev"), atol=1e-3,
+    check_grads(jax.jit(f), (a,), order=2, modes=("fwd", "rev"), atol=1e-3,
                 rtol=1e-3)
 
 
 def test_vmap_batched_eigensolver():
     """Data-parallel batch of couplings through vmap — the reference loops
     in Python; here one vmapped program (SURVEY.md §2.5 table)."""
-    n = 8
-    gs = jnp.linspace(0.5, 1.5, 5)
+    n = 6
+    gs = jnp.linspace(0.5, 1.5, 3)
 
     def e0(g):
         lam, _ = dominant_eigh(tfim_operator(n, g), k=1 << n,

@@ -116,7 +116,7 @@ def test_random_bell_operator_symmetric():
     dense = op.to_dense()
     np.testing.assert_allclose(dense, dense.T, atol=1e-12)
 
-    lam, v = dominant_eigh(op, k=60, extreme="max")
+    lam, v = jax.jit(lambda: dominant_eigh(op, k=60, extreme="max"))()
     evals = np.linalg.eigvalsh(np.asarray(dense))
     np.testing.assert_allclose(lam, evals[-1], rtol=1e-8)
 
@@ -133,7 +133,7 @@ def test_bell_eigh_gradient():
         lam, _ = dominant_eigh(o, k=50, extreme="max")
         return lam
 
-    g = jax.grad(loss)(op.vals)
+    g = jax.grad(jax.jit(loss))(op.vals)
     # Exact check: for a simple eigenvalue, dlam/dA[r, c] = v[r] * v[c],
     # so the gradient w.r.t. the stored entry (i, j, a, b) is
     # v[i*bs + a] * v[cols[i, j]*bs + b] with v the true top eigenvector.

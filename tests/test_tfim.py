@@ -22,7 +22,7 @@ def test_dense_vs_matrix_free_vs_jw(n, g):
     """Three-way consistency: dense ED == matrix-free Lanczos == JW exact."""
     h = tfim_dense_hamiltonian(n, g)
     e_ed = jnp.linalg.eigvalsh(h)[0]
-    e_mf = tfim_ground_energy(n, g, k=80)
+    e_mf = jax.jit(lambda gg: tfim_ground_energy(n, gg, k=80))(g)
     e_jw = tfim_exact_e0(n, g)
     np.testing.assert_allclose(e_mf, e_ed, atol=1e-9)
     np.testing.assert_allclose(e_jw, e_ed, atol=1e-9)
@@ -32,7 +32,7 @@ def test_energy_derivatives_vs_jw_exact():
     """BASELINE config #2: dE0/dg (and d2E0/dg2) via implicit backward vs
     the analytic (Jordan-Wigner) result, N=10."""
     n, g = 10, 0.7
-    e_fn = lambda g: tfim_ground_energy(n, g, k=80, tol=1e-12)
+    e_fn = jax.jit(lambda g: tfim_ground_energy(n, g, k=80, tol=1e-12))
     jw_fn = lambda g: tfim_exact_e0(n, g)
     g = jnp.asarray(g, dtype=jnp.float64)
 
@@ -56,7 +56,7 @@ def test_ed_observables_vs_ad_derivatives():
     n, g = 8, 1.1
     g = jnp.asarray(g, dtype=jnp.float64)
     _, de_ed, d2e_ed, _ = tfim_ed_observables(n, g)
-    e_fn = lambda g: tfim_ground_energy(n, g, k=80, tol=1e-12)
+    e_fn = jax.jit(lambda g: tfim_ground_energy(n, g, k=80, tol=1e-12))
     np.testing.assert_allclose(jax.grad(e_fn)(g), de_ed, atol=1e-8)
     np.testing.assert_allclose(jax.grad(jax.grad(e_fn))(g), d2e_ed,
                                atol=1e-6)
@@ -75,7 +75,7 @@ def test_ground_state_is_eigenvector():
 def test_n16_matrix_free_vs_jw():
     """Larger matrix-free run (dim 65536) against the JW exact energy."""
     n, g = 16, 1.0
-    e = tfim_ground_energy(n, g, k=120, tol=1e-10)
+    e = jax.jit(lambda gg: tfim_ground_energy(n, gg, k=120, tol=1e-10))(jnp.float64(g))
     np.testing.assert_allclose(e, tfim_exact_e0(n, g), atol=1e-8)
 
 
@@ -85,15 +85,15 @@ def test_energy_gap():
     from dominantsparseeigenad_tpu.models import (tfim_dense_hamiltonian,
                                                   tfim_energy_gap)
     n, g = 8, 1.4
-    gap = tfim_energy_gap(n, g, k=1 << n)
+    gap_fn = jax.jit(lambda gg: tfim_energy_gap(n, gg, k=1 << n))
+    gap = gap_fn(jnp.float64(g))
     evals = np.linalg.eigvalsh(np.asarray(tfim_dense_hamiltonian(n, g)))
     np.testing.assert_allclose(gap, evals[1] - evals[0], rtol=1e-9)
 
-    dgap = jax.grad(lambda gg: tfim_energy_gap(n, gg, k=1 << n))(
-        jnp.float64(g))
+    dgap = jax.grad(gap_fn)(jnp.float64(g))
     eps = 1e-6
-    num = (tfim_energy_gap(n, g + eps, k=1 << n)
-           - tfim_energy_gap(n, g - eps, k=1 << n)) / (2 * eps)
+    num = (gap_fn(jnp.float64(g + eps))
+           - gap_fn(jnp.float64(g - eps))) / (2 * eps)
     np.testing.assert_allclose(dgap, num, rtol=1e-5)
 
 
