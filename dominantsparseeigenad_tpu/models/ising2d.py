@@ -100,12 +100,15 @@ def _split(m, chi, eps=_EPS, method: str = "gram"):
     ``V = M^T U Σ^{-1}`` — ~2x faster than a dense SVD, and the squared
     spectrum's accuracy loss only touches singular values far below the
     truncation threshold.  ``method="full"`` uses the dense
-    degeneracy-safe SVD.  ``method="lanczos"`` uses the framework's
-    truncated :func:`~..ops.svd.dominant_svd` (block Lanczos on the
-    Hermitian embedding) — only advantageous when the kept cluster is
-    small AND separated; at TRG's rapidly-decaying spectra the
-    truncation-boundary quasi-degeneracy makes its backward solves
-    expensive, so it is opt-in.
+    degeneracy-safe SVD.  ``method="subspace"`` uses the randomized
+    subspace-sketch truncated SVD (:func:`~..ops.decomp
+    .svd_safe_truncated`) — matmul-only forward, the fast AND accurate
+    f32/TPU tier (see :func:`trg_free_energy`).  ``method="lanczos"``
+    uses the framework's truncated :func:`~..ops.svd.dominant_svd`
+    (block Lanczos on the Hermitian embedding) — only advantageous when
+    the kept cluster is small AND separated; at TRG's rapidly-decaying
+    spectra the truncation-boundary quasi-degeneracy makes its backward
+    solves expensive, so it is opt-in.
     """
     if method == "gram":
         from ..ops.decomp import eigh_safe_truncated

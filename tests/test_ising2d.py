@@ -202,12 +202,12 @@ def test_ctmrg_solver_tiers_agree():
     np.testing.assert_allclose(trunc, full, rtol=1e-12)
     np.testing.assert_allclose(lancz, full, rtol=1e-12)
 
-    gfull = jax.grad(lambda bb: ctmrg_free_energy(
-        bb, chi=8, n_steps=10, eigh_solver="full"))(jnp.float64(b))
-    gtrunc = jax.grad(lambda bb: ctmrg_free_energy(
-        bb, chi=8, n_steps=10))(jnp.float64(b))
-    glancz = jax.grad(lambda bb: ctmrg_free_energy(
-        bb, chi=8, n_steps=10, eigh_solver="lanczos"))(jnp.float64(b))
+    gfull = jax.jit(jax.grad(lambda bb: ctmrg_free_energy(
+        bb, chi=8, n_steps=10, eigh_solver="full")))(jnp.float64(b))
+    gtrunc = jax.jit(jax.grad(lambda bb: ctmrg_free_energy(
+        bb, chi=8, n_steps=10)))(jnp.float64(b))
+    glancz = jax.jit(jax.grad(lambda bb: ctmrg_free_energy(
+        bb, chi=8, n_steps=10, eigh_solver="lanczos")))(jnp.float64(b))
     np.testing.assert_allclose(gtrunc, gfull, rtol=1e-9)
     np.testing.assert_allclose(glancz, gfull, rtol=1e-7)
 
@@ -218,7 +218,7 @@ def test_transfer_gap_and_gradient():
     # the ordered phase the top pair is asymptotically degenerate —
     # symmetry-breaking sectors — and power iteration cannot split it.)
     b = 0.35
-    f = lambda bb: transfer_spectral_gap(bb, chi=8, n_steps=12)
+    f = jax.jit(lambda bb: transfer_spectral_gap(bb, chi=8, n_steps=12))
     lam, dlam = jax.value_and_grad(f)(jnp.float64(b))
     assert float(lam) > 0 and np.isfinite(float(dlam))
     # FD cross-check; eps can't be too small — the finite-chi environment
@@ -237,10 +237,10 @@ def test_trg_lanczos_split_matches_full():
     lz = trg_free_energy(b, chi=8, n_steps=6, split_method="lanczos")
     np.testing.assert_allclose(lz, full, rtol=1e-9)
 
-    gf = jax.grad(lambda bb: trg_free_energy(
-        bb, chi=6, n_steps=5))(jnp.float64(b))
-    gl = jax.grad(lambda bb: trg_free_energy(
-        bb, chi=6, n_steps=5, split_method="lanczos"))(jnp.float64(b))
+    gf = jax.jit(jax.grad(lambda bb: trg_free_energy(
+        bb, chi=6, n_steps=5)))(jnp.float64(b))
+    gl = jax.jit(jax.grad(lambda bb: trg_free_energy(
+        bb, chi=6, n_steps=5, split_method="lanczos")))(jnp.float64(b))
     np.testing.assert_allclose(gl, gf, rtol=1e-7)
 
 
@@ -258,7 +258,7 @@ def test_correlation_length():
     xi = correlation_length(jnp.float64(b), chi=10, n_steps=15)
     np.testing.assert_allclose(xi, xi_exact, rtol=1e-6)
 
-    f = lambda bb: correlation_length(bb, chi=8, n_steps=12)
+    f = jax.jit(lambda bb: correlation_length(bb, chi=8, n_steps=12))
     dxi = jax.grad(f)(jnp.float64(b))
     eps = 1e-4
     num = (f(jnp.float64(b + eps)) - f(jnp.float64(b - eps))) / (2 * eps)
