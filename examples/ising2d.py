@@ -77,9 +77,10 @@ def main():
             results.append((float(b), float(lnz), float(u), float(cv)))
 
     for b, lnz, u, cv in results:
+        bx = jnp.asarray(b)  # f64 when x64 is on, f32 otherwise
         lnz_e = float(ex(b))
-        u_e = -float(ex_u(jnp.float64(b)))
-        cv_e = b ** 2 * float(ex_c(jnp.float64(b)))
+        u_e = -float(ex_u(bx))
+        cv_e = b ** 2 * float(ex_c(bx))
         print(f"  {b:7.4f} {lnz:12.8f} {u:10.6f} "
               f"{cv:10.6f} {abs(lnz-lnz_e):9.1e} "
               f"{abs(u-u_e):9.1e} {abs(cv-cv_e):9.1e}")
