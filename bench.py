@@ -297,7 +297,10 @@ def run_jax_staged(max_tries: int = 3, stage_timeout: int = 900):
             print(f"# jax stage timed out (attempt {attempt + 1})",
                   file=sys.stderr)
         time.sleep(120)
-    raise RuntimeError("jax benchmark stage failed after retries")
+    raise RuntimeError(
+        "jax benchmark stage failed after retries "
+        f"(device {'seen at least once' if device_ever else 'never seen'} "
+        "during the probe schedule)")
 
 
 def main():

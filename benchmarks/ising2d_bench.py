@@ -45,6 +45,14 @@ def run_ours_stage(platform):
     from dominantsparseeigenad_tpu.models import trg_free_energy
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    if platform == "tpu" and not on_tpu:
+        # The plugin fell back to the CPU backend: without x64 enabled
+        # this stage would silently run f32 mislabeled as the CPU-f64
+        # fallback (and with chi=30 the f32+gram split reconstructs
+        # noise).  Fail the stage so the parent tries "cpu" properly.
+        print("tpu stage resolved to CPU backend; deferring to the cpu "
+              "stage", file=sys.stderr)
+        sys.exit(3)
     dtype = jnp.float32 if on_tpu else jnp.float64
 
     def lnz_and_grad(b):
@@ -89,6 +97,10 @@ def bench_ours(platform):
             last_err = r.stderr[-500:]
         except subprocess.TimeoutExpired:
             last_err = f"{p} stage timed out ({TPU_STAGE_TIMEOUT}s)"
+        except (json.JSONDecodeError, IndexError, KeyError) as e:
+            # Zero-exit stage with unparseable stdout must degrade to the
+            # next platform, not kill the fallback chain.
+            last_err = f"{p} stage output unparseable: {e}"
         print(f"# ours[{p}] failed: {last_err}", file=sys.stderr)
     raise RuntimeError(f"all platforms failed: {last_err}")
 

@@ -111,7 +111,6 @@ def _split(m, chi, eps=_EPS, method: str = "gram"):
     solves expensive, so it is opt-in.
     """
     if method == "gram":
-        from ..ops.decomp import eigh_safe_truncated
         w_top, u_top = eigh_safe_truncated(m @ m.T, chi, eps)  # desc s^2
         w = w_top[::-1]  # for the w_max estimate below
         # Exact zero modes (rank-deficient early steps) must be masked

@@ -201,8 +201,10 @@ def bicgstab(matvec: Callable, b: jax.Array, *,
     transfer-matrix IFT systems at larger χ near criticality are not
     well-gapped enough for normal equations).  Needs only the forward
     matvec; two applications per iteration; ``lax.while_loop`` with
-    residual-based exit and breakdown guards (ρ→0 / ⟨r̂,v⟩→0 / ω→0
-    freeze the iteration instead of dividing by ~0).
+    residual-based exit and eps-scaled breakdown guards (near-zero ρ or
+    ⟨r̂,v⟩ — not just exactly-zero — freezes the iteration instead of
+    letting β/α overflow; a non-finite update is discarded and the last
+    good iterate returned).
     """
     if maxiter is None:
         maxiter = 10 * b.shape[-1]
@@ -210,6 +212,12 @@ def bicgstab(matvec: Callable, b: jax.Array, *,
     r0 = b - matvec(x0)
     target2 = jnp.maximum(tol * tol * jnp.vdot(b, b).real, atol * atol)
     one = jnp.ones((), b.dtype)
+    # scipy-style near-breakdown threshold: |rho| <= eps*||rhat||*||r||
+    # (exact-zero tests let |rho| ~ eps^2 slip through, beta ~ 1/rho
+    # overflows, and NaN r would end the loop "successfully" with a
+    # garbage x — fatal for the IFT tangent systems this backs).
+    eps = jnp.finfo(jnp.finfo(b.dtype).dtype).eps
+    rhat_norm = jnp.linalg.norm(r0)
 
     # carry: x, r, rhat, p, v, rho, alpha, omega, stop, it
     state0 = (x0, r0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
@@ -225,27 +233,36 @@ def bicgstab(matvec: Callable, b: jax.Array, *,
     def body(s):
         x, r, rhat, p, v, rho, alpha, omega, stop, it = s
         rho_new = jnp.vdot(rhat, r)
-        broke = jnp.abs(rho_new) == 0
+        broke = jnp.abs(rho_new) <= eps * rhat_norm * jnp.linalg.norm(r)
         beta = jnp.where(broke, 0.0,
                          (rho_new / jnp.where(broke, one, rho))
                          * (alpha / jnp.where(omega == 0, one, omega)))
-        p = r + beta * (p - omega * v)
+        p_new = r + beta * (p - omega * v)
         with jax.named_scope("bicgstab_matvec"):
-            v = matvec(p)
-        denom = jnp.vdot(rhat, v)
-        broke = jnp.logical_or(broke, jnp.abs(denom) == 0)
-        alpha = jnp.where(broke, 0.0,
-                          rho_new / jnp.where(denom == 0, one, denom))
-        ss = r - alpha * v
+            v_new = matvec(p_new)
+        denom = jnp.vdot(rhat, v_new)
+        broke = jnp.logical_or(
+            broke,
+            jnp.abs(denom) <= eps * rhat_norm * jnp.linalg.norm(v_new))
+        alpha_new = jnp.where(broke, 0.0,
+                              rho_new / jnp.where(broke, one, denom))
+        ss = r - alpha_new * v_new
         with jax.named_scope("bicgstab_matvec"):
             t = matvec(ss)
         tt = jnp.vdot(t, t)
-        omega = jnp.where(tt.real == 0, 0.0,
-                          jnp.vdot(t, ss) / jnp.where(tt == 0, one, tt))
-        x = x + alpha * p + omega * ss
-        r = ss - omega * t
-        stop = jnp.logical_or(broke, omega == 0)
-        return (x, r, rhat, p, v, rho_new, alpha, omega, stop, it + 1)
+        omega_new = jnp.where(tt.real == 0, 0.0,
+                              jnp.vdot(t, ss) / jnp.where(tt == 0, one, tt))
+        x_new = x + alpha_new * p_new + omega_new * ss
+        r_new = ss - omega_new * t
+        # Non-finite step (overflow slipped past the guards): discard it
+        # and stop on the last good iterate rather than letting
+        # NaN > target2 = False end the loop with corrupted state.
+        bad = ~jnp.isfinite(jnp.vdot(r_new, r_new).real)
+        x_new = jnp.where(bad, x, x_new)
+        r_new = jnp.where(bad, r, r_new)
+        stop = jnp.logical_or(jnp.logical_or(broke, bad), omega_new == 0)
+        return (x_new, r_new, rhat, p_new, v_new, rho_new, alpha_new,
+                omega_new, stop, it + 1)
 
     x, *_ = lax.while_loop(cond, body, state0)
     return x

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .cg import bicgstab, cg
-from .operators import LinearOperator, as_operator
+from .operators import LinearOperator, as_operator, tol_floor
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,9 +87,14 @@ def _power_pair(op, opts: EigOptions):
     r0 = r0 / jnp.linalg.norm(r0)
     l0 = l0 / jnp.linalg.norm(l0)
 
+    # f32-reachable stopping target: the f64-appropriate default
+    # power_tol is below f32 machine epsilon, where the loop would burn
+    # its whole budget and report converged=0 on a fully converged run.
+    ptol = tol_floor(opts.power_tol, dtype)
+
     def cond(s):
         it, resid = s[0], s[1]
-        return jnp.logical_and(resid > opts.power_tol, it < opts.num_iters)
+        return jnp.logical_and(resid > ptol, it < opts.num_iters)
 
     def body(s):
         it, _, _, r, l = s
@@ -108,13 +113,19 @@ def _power_pair(op, opts: EigOptions):
     inf = jnp.asarray(jnp.inf, real_dtype)
     it, resid, _, r, l = lax.while_loop(
         cond, body, (it0, inf, jnp.zeros((), dtype), r0, l0))
-    # Deterministic sign gauge on r; l follows through the l^T r = 1 scale.
+    # Deterministic phase gauge on r (largest-magnitude entry real
+    # positive); l follows through the l^T r = 1 scale.  All pairings of
+    # l with r below are BILINEAR (sum, not vdot): l is the transpose
+    # left eigenvector (A^T l = λ l), whose annihilator row for the IFT
+    # is l^T — conjugated pairings would silently change λ and every
+    # tangent for complex non-symmetric operators.
     pivot = r[jnp.argmax(jnp.abs(r))]
-    r = r * jnp.sign(pivot)
-    lam = jnp.vdot(l, op.matvec(r)) / jnp.vdot(l, r)
-    l = l / jnp.vdot(l, r)
+    r = r * jnp.conj(jnp.sign(pivot))
+    ln = jnp.sum(l * r)
+    lam = jnp.sum(l * op.matvec(r)) / ln
+    l = l / ln
     info = PowerInfo(iterations=it.astype(real_dtype), residual=resid,
-                     converged=(resid <= opts.power_tol).astype(real_dtype))
+                     converged=(resid <= ptol).astype(real_dtype))
     return lam, l, r, info
 
 
@@ -134,17 +145,26 @@ def _bordered_solve(mv, rmv, u, w, b, tol, maxiter, method="bicgstab"):
     arbitrary order; the transpose system is the transposed bordered
     matrix with ``u``/``w`` swapped and ``M^T``.  ``method="cgnr"`` falls
     back to CG on the augmented normal equations.
+
+    The border pairings are BILINEAR (``sum(w*x)``, no conjugation), so
+    ``armv`` is the exact transpose of ``amv`` for complex dtypes too —
+    a conjugating border row would make ``custom_linear_solve``'s
+    transpose solve target the wrong matrix and silently corrupt
+    reverse-mode gradients.  (Pathology note: a complex isotropic gauge
+    vector with ``w^T w = 0`` would re-singularize the bordered system;
+    Perron–Frobenius dominant vectors of the intended transfer-matrix
+    applications are never isotropic.)
     """
     n = b.shape[0]
     zero1 = jnp.zeros((1,), b.dtype)
 
     def amv(z):
         x, nu = z[:n], z[n]
-        return jnp.concatenate([mv(x) + nu * u, jnp.vdot(w, x)[None]])
+        return jnp.concatenate([mv(x) + nu * u, jnp.sum(w * x)[None]])
 
     def armv(z):
         x, nu = z[:n], z[n]
-        return jnp.concatenate([rmv(x) + nu * w, jnp.vdot(u, x)[None]])
+        return jnp.concatenate([rmv(x) + nu * w, jnp.sum(u * x)[None]])
 
     if method == "cgnr":
         def _solver(fwd_op, bwd_op):
@@ -192,7 +212,7 @@ def _eig_tangents(op, dop, lam, l, r, opts):
     _, dAr = jax.jvp(lambda o: o.matvec(r), (op,), (dop,))
     _, dATl = jax.jvp(lambda o: o.rmatvec(l), (op,), (dop,))
 
-    dlam = jnp.vdot(l, dAr)
+    dlam = jnp.sum(l * dAr)          # l^T (dA) r — bilinear (l^T r = 1)
 
     def mv(x):
         return op.matvec(x) - lam * x
@@ -201,12 +221,21 @@ def _eig_tangents(op, dop, lam, l, r, opts):
         return op.rmatvec(x) - lam * x
 
     # Right vector: (A-λI) dr = -(dA r - dλ r) =: b_r.  (A-λI) is singular
-    # with right null vector r and range l^⊥; the bordered system with
-    # border vectors (u=l, w=r) is nonsingular and enforces the gauge
-    # r^T dr = 0 (||r|| = 1) exactly.
+    # with right null vector r and range complement of l; the bordered
+    # system with border vectors (u=l, w=r) is nonsingular and yields a
+    # particular solution with r^T dr0 = 0.  The PRIMAL's gauge is
+    # ||r|| = 1 with the pivot entry real positive — identical for real
+    # dtypes (where r^T dr0 = <r, dr0> = 0 already implies both), but a
+    # complex primal's tangent must satisfy Re<r, dr> = 0 (norm) and
+    # Im dr[i*] = 0 (phase), so shift along the null direction r.
     b_r = -(dAr - dlam * r)
     dr = _bordered_solve(mv, rmv, l, r, b_r, opts.tol, opts.maxiter,
                          opts.solver)
+    if jnp.iscomplexobj(r):
+        i_star = jnp.argmax(jnp.abs(r))
+        c_r = (-jnp.real(jnp.vdot(r, dr))
+               - 1j * jnp.imag(dr[i_star]) / jnp.real(r[i_star]))
+        dr = dr + c_r * r
 
     # Left vector: (A^T-λI) dl0 = -(dA^T l - dλ l) =: b_l, particular
     # solution with l^T dl0 = 0 (border u=r, w=l); then shift along l to
@@ -214,7 +243,7 @@ def _eig_tangents(op, dop, lam, l, r, opts):
     b_l = -(dATl - dlam * l)
     dl0 = _bordered_solve(rmv, mv, r, l, b_l, opts.tol, opts.maxiter,
                           opts.solver)
-    c = -jnp.vdot(l, dr) - jnp.vdot(r, dl0)
+    c = -jnp.sum(l * dr) - jnp.sum(r * dl0)   # d(l^T r) = 0, bilinear
     dl = dl0 + c * l
     return lam, dlam, dl, dr
 

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from .cg import solve_deflated
 from .lanczos import LanczosInfo, lanczos, lanczos_adaptive, lanczos_eigh
-from .operators import LinearOperator, as_operator
+from .operators import LinearOperator, as_operator, tol_floor
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +88,7 @@ def _forward_info(op, extreme: str, opts: EighOptions):
     k = min(opts.k, op.dim)
     ref_tol = opts.early_exit_tol if opts.early_exit_tol is not None else \
         opts.tol
+    ref_tol = tol_floor(ref_tol, op.dtype)  # f32-reachable convergence bar
     if opts.early_exit_tol is not None and opts.restart_cycles == 0:
         return lanczos_adaptive(op, k, extreme=extreme, tol=ref_tol,
                                 key=key,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .operators import LinearOperator, as_operator
+from .operators import LinearOperator, as_operator, tol_floor
 
 _BREAKDOWN_REL_TOL = 1e-8
 
@@ -257,6 +257,9 @@ def lanczos_adaptive(op, k: int, *, extreme: str = "min",
     op = as_operator(op)
     n, dtype = op.dim, op.dtype
     real_dtype = jnp.finfo(dtype).dtype
+    # The f64-appropriate default tol is unreachable in f32 — floor it so
+    # early exit still fires (and converged reports 1) at f32 precision.
+    tol = tol_floor(tol, dtype)
     if key is None:
         key = jax.random.PRNGKey(0)
     k = int(k)

@@ -38,6 +38,20 @@ import jax
 import jax.numpy as jnp
 
 
+def tol_floor(tol: float, dtype) -> float:
+    """Clamp a relative tolerance to what ``dtype`` can actually resolve.
+
+    Residuals of a converged iteration bottom out near machine epsilon of
+    the *real* working dtype; a tighter request (e.g. the f64-appropriate
+    defaults on an f32/TPU run) would make residual-stopped loops burn
+    their full budget and convergence checks report failure on fully
+    converged results.  50x eps is a conservative floor (~6e-6 in f32,
+    ~1.1e-14 in f64) that leaves the f64 defaults untouched.
+    """
+    eps = float(jnp.finfo(jnp.finfo(dtype).dtype).eps)
+    return max(float(tol), 50.0 * eps)
+
+
 class LinearOperator:
     """Abstract square linear operator.
 

@@ -120,9 +120,14 @@ class CSROperator(LinearOperator):
 
     def __post_init__(self):
         if self._rows is None:
-            counts = np.diff(np.asarray(self.indptr))
-            rows = jnp.asarray(
-                np.repeat(np.arange(self.n), counts), jnp.int32)
+            # Tracer-safe (constructing the operator under jit/vmap must
+            # not hit numpy): row of entry j is the number of row
+            # boundaries at or before j, i.e. searchsorted on indptr.
+            nnz = self.indices.shape[0]
+            rows = jnp.searchsorted(
+                jnp.asarray(self.indptr, jnp.int32),
+                jnp.arange(nnz, dtype=jnp.int32), side="right",
+            ).astype(jnp.int32) - 1
             object.__setattr__(self, "_rows", rows)
 
     def matvec(self, x):
@@ -181,6 +186,11 @@ class CSROperator(LinearOperator):
     @classmethod
     def from_scipy(cls, m):
         """From any scipy.sparse matrix (converted to canonical CSR)."""
+        if m.shape[0] != m.shape[1]:
+            # The LinearOperator protocol is square-only; a rectangular
+            # CSR would gather out-of-range (JAX clamps silently) and
+            # return wrong results with no exception.
+            raise ValueError(f"CSROperator is square-only, got {m.shape}")
         m = m.tocsr()
         m.sum_duplicates()
         return cls(jnp.asarray(m.indptr, jnp.int32),

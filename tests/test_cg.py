@@ -207,3 +207,24 @@ def test_solve_general_bicgstab_gradients():
 
     check_grads(jax.jit(loss), (jnp.float64(0.1),), order=2, modes=["fwd", "rev"],
                 atol=1e-5, rtol=1e-5)
+
+
+def test_bicgstab_singular_system_stays_finite():
+    """Near-breakdown robustness: on a singular system (exact eigenvalue
+    shift, rhs with a null-space component) the eps-scaled guards must
+    freeze the iteration with a finite iterate — the old exact-zero
+    guards let beta overflow and returned NaN silently."""
+    from dominantsparseeigenad_tpu import bicgstab
+
+    n = 24
+    rng = np.random.default_rng(40)
+    s = jnp.asarray(rng.standard_normal((n, n)))
+    a = (s + s.T) / 2
+    w, v = np.linalg.eigh(np.asarray(a))
+    m = a - w[0] * jnp.eye(n)          # exactly singular
+    b = jnp.asarray(rng.standard_normal(n)) + jnp.asarray(v[:, 0])
+    x = bicgstab(lambda y: m @ y, b, tol=1e-14, maxiter=500)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    # The returned iterate is a least-squares-ish stagnation point, not
+    # garbage: its residual cannot exceed ||b|| by any large factor.
+    assert float(jnp.linalg.norm(m @ x - b)) <= 2 * float(jnp.linalg.norm(b))

@@ -118,3 +118,65 @@ def test_complex_deflated_solve():
     res = (h @ x - lam * x) - pb
     assert float(jnp.linalg.norm(res)) < 1e-8
     assert abs(complex(jnp.vdot(v, x))) < 1e-10
+
+
+def _cnonsym(n, rng, scale=0.05):
+    """Complex non-symmetric matrix with an isolated dominant eigenvalue."""
+    d = np.concatenate([[3.0 + 0.7j],
+                        0.4 * (rng.standard_normal(n - 1)
+                               + 1j * rng.standard_normal(n - 1))])
+    return jnp.asarray(np.diag(d) + scale * (
+        rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))))
+
+
+def test_complex_nonsymmetric_dominant_eig():
+    """dominant_eig on a complex NON-symmetric operator: complex dominant
+    eigenvalue matches numpy, left/right residuals vanish, and the
+    normalization is the BILINEAR l^T r = 1 (a conjugating pairing would
+    silently change lambda and every tangent)."""
+    from dominantsparseeigenad_tpu.ops.eig import dominant_eig
+
+    n = 24
+    rng = np.random.default_rng(20)
+    a0 = _cnonsym(n, rng)
+    lam, l, v = dominant_eig(a0, num_iters=1000, power_tol=1e-12)
+
+    w = np.linalg.eigvals(np.asarray(a0))
+    lam_np = w[np.argmax(np.abs(w))]
+    np.testing.assert_allclose(complex(lam), lam_np, rtol=1e-9)
+    assert np.linalg.norm(np.asarray(a0 @ v - lam * v)) < 1e-8
+    assert np.linalg.norm(np.asarray(a0.T @ l - lam * l)) < 1e-7
+    np.testing.assert_allclose(complex(jnp.sum(l * v)), 1.0, rtol=1e-9)
+
+
+def test_complex_nonsymmetric_dominant_eig_grads():
+    """Forward- and reverse-mode derivatives of complex non-symmetric
+    dominant_eig vs finite differences.  Reverse mode runs the TRANSPOSE
+    bordered system — regression for the amv/armv complex transpose
+    mismatch (armv must be the exact bilinear transpose of amv)."""
+    from dominantsparseeigenad_tpu.ops.eig import dominant_eig
+
+    n = 20
+    rng = np.random.default_rng(21)
+    a0 = _cnonsym(n, rng)
+    a1 = jnp.asarray(0.5 * (rng.standard_normal((n, n))
+                            + 1j * rng.standard_normal((n, n))))
+    wv = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+
+    def f_lam(t):
+        lam, _, _ = dominant_eig(a0 + t * a1, num_iters=1000,
+                                 power_tol=1e-12)
+        return jnp.abs(lam) ** 2
+
+    def f_vec(t):
+        _, l, v = dominant_eig(a0 + t * a1, num_iters=1000,
+                               power_tol=1e-12)
+        return jnp.abs(jnp.sum(wv * v)) ** 2 + jnp.abs(jnp.sum(wv * l)) ** 2
+
+    t0, eps = jnp.float64(0.0), 1e-6
+    for f in (f_lam, f_vec):
+        g_rev = jax.grad(f)(t0)
+        _, g_fwd = jax.jvp(f, (t0,), (jnp.float64(1.0),))
+        num = (f(t0 + eps) - f(t0 - eps)) / (2 * eps)
+        np.testing.assert_allclose(g_fwd, num, rtol=2e-5)
+        np.testing.assert_allclose(g_rev, num, rtol=2e-5)

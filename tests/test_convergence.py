@@ -148,3 +148,23 @@ def test_solve_deflated_info_maxiter_hit(tfim_h):
     rec = tfim_h @ x - lam * x
     proj_b = b - v * jnp.vdot(v, b)
     np.testing.assert_allclose(rec, proj_b, atol=1e-7)
+
+
+def test_f32_tolerance_floor_reports_converged():
+    """The f64-appropriate default tolerances are below f32 machine eps;
+    the dtype-aware floor must keep early exit live and report
+    converged=1 on fully converged f32 runs (TPU's working precision)."""
+    from dominantsparseeigenad_tpu.ops.eig import dominant_eig
+
+    n = 32
+    rng = np.random.default_rng(50)
+    a32 = jnp.asarray(rng.random((n, n)) + 0.1, jnp.float32)
+    lam, l, r, info = dominant_eig(a32, num_iters=500, with_info=True)
+    assert float(info.converged) == 1.0
+    assert float(info.iterations) < 200
+
+    h = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    h = (h + h.T) / 2
+    lam2, v2, info2 = dominant_eigh(DenseOperator(h), k=n, extreme="min",
+                                    with_info=True)
+    assert float(info2.converged) == 1.0

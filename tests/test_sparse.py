@@ -208,3 +208,34 @@ def test_csr_eigh_and_gradients_match_dense():
     np.testing.assert_allclose(
         g_csr, g_dense[np.asarray(op._rows), np.asarray(op.indices)],
         rtol=1e-6, atol=1e-10)
+
+
+def test_csr_constructible_under_jit():
+    """CSROperator's derived row index must be tracer-safe: building the
+    operator from traced indptr/indices inside jit (the natural 4-arg
+    constructor) may not touch numpy."""
+    from dominantsparseeigenad_tpu import CSROperator
+
+    rng = np.random.default_rng(31)
+    a = np.where(rng.random((12, 12)) < 0.3, rng.standard_normal((12, 12)),
+                 0.0)
+    base = CSROperator.from_dense(jnp.asarray(a))
+    x = jnp.asarray(rng.standard_normal(12))
+
+    @jax.jit
+    def mv(indptr, indices, data, x):
+        op = CSROperator(indptr, indices, data, 12)
+        return op.matvec(x), op.rmatvec(x)
+
+    y, yt = mv(base.indptr, base.indices, base.data, x)
+    np.testing.assert_allclose(y, a @ np.asarray(x), atol=1e-12)
+    np.testing.assert_allclose(yt, a.T @ np.asarray(x), atol=1e-12)
+
+
+def test_csr_from_scipy_rejects_rectangular():
+    import scipy.sparse as sp
+
+    from dominantsparseeigenad_tpu import CSROperator
+
+    with pytest.raises(ValueError, match="square"):
+        CSROperator.from_scipy(sp.random(6, 9, density=0.5, format="csr"))
