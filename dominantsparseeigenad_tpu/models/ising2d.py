@@ -394,8 +394,11 @@ def correlation_length(beta, *, chi: int = 16, n_steps: int = 30,
     built with the framework's lazy operator algebra, so the whole chain
     (CTMRG environment -> lam1 eigentriple -> deflation -> lam2 -> xi) is
     differentiable in beta.  Valid in the disordered phase (simple
-    Perron root; in the ordered phase the top pair degenerates and
-    xi -> infinity).
+    Perron root); in the ordered phase the top pair degenerates, the
+    numerical gap ln(lam1/|lam2|) shrinks to round-off and can even go
+    negative, so it is clamped at machine epsilon — xi then saturates at
+    a huge POSITIVE value (~1/eps), signaling divergence instead of
+    returning a nonsense negative length.
     """
     from ..ops.operators import MatrixFreeOperator
 
@@ -415,7 +418,8 @@ def correlation_length(beta, *, chi: int = 16, n_steps: int = 30,
                                   dtype=op.dtype, rmatvec_fn=rmv,
                                   symmetric=False)
     lam2, _, _ = dominant_eig(deflated, num_iters=num_iters, seed=3)
-    return 1.0 / jnp.log(lam1 / lam2)
+    gap = jnp.log(lam1 / jnp.abs(lam2))
+    return 1.0 / jnp.maximum(gap, jnp.finfo(jnp.asarray(lam1).dtype).eps)
 
 
 # ---------------------------------------------------------------------------

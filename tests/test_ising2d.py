@@ -264,3 +264,13 @@ def test_correlation_length():
     num = (f(jnp.float64(b + eps)) - f(jnp.float64(b - eps))) / (2 * eps)
     np.testing.assert_allclose(dxi, num, rtol=1e-3)
     assert float(dxi) > 0  # xi grows approaching beta_c from below
+
+
+def test_correlation_length_ordered_phase_saturates_positive():
+    """Deep in the ordered phase the top transfer pair is degenerate to
+    round-off and the raw gap can go NEGATIVE numerically; the clamp must
+    return a huge positive xi (divergence signal), never a negative one."""
+    from dominantsparseeigenad_tpu.models import correlation_length
+
+    xi = float(correlation_length(jnp.float64(0.5), chi=10, n_steps=15))
+    assert xi > 1e10
