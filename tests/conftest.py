@@ -22,3 +22,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# The suite is XLA-compile dominated (the heavy TRG/CTMRG and shard_map
+# tests spend 20-30 s each tracing+compiling); persist compiled
+# executables across runs so only the first run after a code change pays
+# full price.  Safe under pytest-xdist: the cache is file-per-key with
+# atomic writes.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
+                          ".jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
