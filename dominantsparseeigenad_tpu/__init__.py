@@ -30,6 +30,7 @@ from .ops import (
     cg,
     cg_info,
     bicgstab,
+    gmres,
     minres,
     solve_spd,
     solve_symmetric,

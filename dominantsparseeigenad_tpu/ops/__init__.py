@@ -12,7 +12,7 @@ from .operators import (
 )
 from .lanczos import (lanczos, lanczos_adaptive, lanczos_eigh,
                       power_iteration, LanczosResult, LanczosInfo)
-from .cg import (cg, cg_info, bicgstab, minres, solve_spd,
+from .cg import (cg, cg_info, bicgstab, gmres, minres, solve_spd,
                  solve_symmetric, solve_deflated, solve_deflated_info,
                  solve_general)
 from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
@@ -36,7 +36,7 @@ __all__ = [
     "as_operator",
     "lanczos", "lanczos_adaptive", "lanczos_eigh", "power_iteration",
     "LanczosResult", "LanczosInfo",
-    "cg", "cg_info", "bicgstab", "minres", "solve_spd",
+    "cg", "cg_info", "bicgstab", "gmres", "minres", "solve_spd",
     "solve_symmetric", "solve_deflated", "solve_deflated_info",
     "solve_general",
     "dominant_eigh", "dominant_eigh_multi", "EighOptions",

@@ -268,6 +268,82 @@ def bicgstab(matvec: Callable, b: jax.Array, *,
     return x
 
 
+def gmres(matvec: Callable, b: jax.Array, *,
+          x0: jax.Array | None = None, tol: float = 1e-7,
+          atol: float = 0.0, restart: int = 32,
+          maxiter: int | None = None) -> jax.Array:
+    """Restarted GMRES(m) for a general square ``matvec``.
+
+    Complements :func:`bicgstab` for non-symmetric systems: GMRES's
+    residual is monotonically non-increasing within a cycle (no BiCGStab
+    breakdown modes), at the cost of storing an ``(m+1, N)`` Krylov basis
+    per cycle.  TPU-shaped: the Arnoldi orthogonalization is two batched
+    matmuls against the full basis block per step (MXU work, like
+    ``lanczos``'s reorthogonalization), the per-cycle least-squares
+    problem is a static ``(m+1, m)`` ``lstsq``, and the outer restart
+    loop is a ``lax.while_loop`` on the true residual.
+
+    ``maxiter`` bounds the total number of inner (Arnoldi) steps; the
+    default matches the other solvers' ``10 * N`` budget.
+    """
+    n = b.shape[-1]
+    m = max(1, min(int(restart), n))
+    if maxiter is None:
+        maxiter = 10 * n
+    max_cycles = -(-int(maxiter) // m)  # ceil
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dtype = b.dtype
+    real_dtype = jnp.finfo(dtype).dtype
+    target2 = jnp.maximum(tol * tol * jnp.vdot(b, b).real, atol * atol)
+    tiny = jnp.finfo(real_dtype).tiny
+
+    def cycle(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        v0 = r / jnp.maximum(beta, tiny)
+        basis0 = jnp.zeros((m + 1, n), dtype).at[0].set(v0)
+        h0 = jnp.zeros((m + 1, m), dtype)
+
+        def arnoldi(carry, j):
+            basis, h = carry
+            w = matvec(basis[j])
+            # Modified-Gram-Schmidt as two full-block matmuls (unwritten
+            # rows are zero, so the masked projection is exact), plus one
+            # refinement pass — the classical "twice is enough".
+            coeffs = basis.conj() @ w
+            w = w - basis.T @ coeffs
+            extra = basis.conj() @ w
+            w = w - basis.T @ extra
+            coeffs = coeffs + extra
+            hj = jnp.linalg.norm(w).astype(real_dtype)
+            # Happy breakdown: leave the next basis row zero — later
+            # Arnoldi steps then produce zero columns, and the masked
+            # least-squares below simply ignores them.
+            w = jnp.where(hj > tiny, w / jnp.maximum(hj, tiny),
+                          jnp.zeros_like(w))
+            basis = basis.at[j + 1].set(w)
+            h = h.at[:, j].set(coeffs.at[j + 1].set(hj.astype(dtype)))
+            return (basis, h), None
+
+        (basis, h), _ = lax.scan(arnoldi, (basis0, h0), jnp.arange(m))
+        rhs = jnp.zeros((m + 1,), dtype).at[0].set(beta.astype(dtype))
+        y, *_ = jnp.linalg.lstsq(h, rhs)
+        return x + basis[:m].T @ y
+
+    def cond(s):
+        x, it = s
+        r = b - matvec(x)
+        return jnp.logical_and(jnp.vdot(r, r).real > target2,
+                               it < max_cycles)
+
+    def body(s):
+        x, it = s
+        return cycle(x), it + 1
+
+    x, _ = lax.while_loop(cond, body, (x0, jnp.zeros((), jnp.int32)))
+    return x
+
+
 def _hermitian_linear_solve(matvec: Callable, b: jax.Array,
                             solver: Callable) -> jax.Array:
     """``custom_linear_solve`` for a Hermitian ``matvec``.
@@ -416,8 +492,9 @@ def solve_general(matvec: Callable, rmatvec: Callable, b: jax.Array, *,
     applicable but at squared condition number, useful as a fallback when
     BiCGStab stagnates on wildly non-normal systems.
     """
-    if method not in ("bicgstab", "cgnr"):
-        raise ValueError(f"method must be bicgstab|cgnr, got {method!r}")
+    if method not in ("bicgstab", "cgnr", "gmres"):
+        raise ValueError(
+            f"method must be bicgstab|cgnr|gmres, got {method!r}")
 
     def _cgnr(mv, rmv, rhs):
         def normal_mv(x):
@@ -427,6 +504,9 @@ def solve_general(matvec: Callable, rmatvec: Callable, b: jax.Array, *,
     if method == "cgnr":
         fwd = lambda mv, rhs: _cgnr(matvec, rmatvec, rhs)
         bwd = lambda mv, rhs: _cgnr(rmatvec, matvec, rhs)
+    elif method == "gmres":
+        fwd = lambda mv, rhs: gmres(matvec, rhs, tol=tol, maxiter=maxiter)
+        bwd = lambda mv, rhs: gmres(rmatvec, rhs, tol=tol, maxiter=maxiter)
     else:
         fwd = lambda mv, rhs: bicgstab(matvec, rhs, tol=tol,
                                        maxiter=maxiter)

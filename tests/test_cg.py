@@ -228,3 +228,72 @@ def test_bicgstab_singular_system_stays_finite():
     # The returned iterate is a least-squares-ish stagnation point, not
     # garbage: its residual cannot exceed ||b|| by any large factor.
     assert float(jnp.linalg.norm(m @ x - b)) <= 2 * float(jnp.linalg.norm(b))
+
+
+def test_gmres_matches_direct_solve():
+    from dominantsparseeigenad_tpu import gmres
+
+    n = 48
+    rng = np.random.default_rng(60)
+    # 0.5x scale keeps the random spectral disk (radius ~0.5*sqrt(n))
+    # inside the +5 shift, so the spectrum stays away from the origin.
+    a = 0.5 * jnp.asarray(rng.standard_normal((n, n))) + 5 * jnp.eye(n)
+    b = jnp.asarray(rng.standard_normal(n))
+    x = gmres(lambda y: a @ y, b, tol=1e-12, restart=24)
+    np.testing.assert_allclose(x, np.linalg.solve(np.asarray(a),
+                                                  np.asarray(b)), atol=1e-9)
+    # Complex non-symmetric.
+    c = a + 1j * jnp.asarray(rng.standard_normal((n, n))) * 0.3
+    bc = b + 1j * jnp.asarray(rng.standard_normal(n))
+    xc = gmres(lambda y: c @ y, bc, tol=1e-12, restart=24)
+    np.testing.assert_allclose(xc, np.linalg.solve(np.asarray(c),
+                                                   np.asarray(bc)),
+                               atol=1e-8)
+
+
+def test_gmres_restarted_ill_conditioned():
+    """Restart smaller than the problem dimension still converges on a
+    moderately ill-conditioned non-normal system (multiple cycles)."""
+    from dominantsparseeigenad_tpu import gmres
+
+    n = 60
+    rng = np.random.default_rng(61)
+    u = jnp.asarray(rng.standard_normal((n, n))) * 0.1
+    a = jnp.diag(jnp.linspace(0.05, 3.0, n)) + jnp.triu(u, 1)
+    b = jnp.asarray(rng.standard_normal(n))
+    x = gmres(lambda y: a @ y, b, tol=1e-11, restart=16, maxiter=40 * n)
+    assert float(jnp.linalg.norm(a @ x - b)) < 1e-8
+
+
+def test_solve_general_gmres_gradients():
+    """solve_general(method='gmres') under custom_linear_solve: the
+    transpose solves run GMRES on rmatvec; check order-2 derivatives."""
+    n = 16
+    rng = np.random.default_rng(62)
+    a0 = jnp.asarray(rng.standard_normal((n, n))) + 4 * jnp.eye(n)
+    a1 = jnp.asarray(rng.standard_normal((n, n)))
+    b = jnp.asarray(rng.standard_normal(n))
+
+    def loss(t):
+        mat = a0 + t * a1
+        x = solve_general(lambda y: mat @ y, lambda y: mat.T @ y, b,
+                          tol=1e-12, method="gmres")
+        return jnp.sum(x ** 2)
+
+    check_grads(loss, (jnp.float64(0.1),), order=2, modes=["fwd", "rev"],
+                atol=1e-5, rtol=1e-5)
+
+
+def test_dominant_eig_gmres_solver_matches_bicgstab():
+    from dominantsparseeigenad_tpu.ops.eig import dominant_eig
+
+    n = 30
+    rng = np.random.default_rng(63)
+    a0 = jnp.asarray(rng.random((n, n)) + 0.1)
+    a1 = jnp.asarray(rng.standard_normal((n, n)))
+
+    def dlam(solver):
+        f = lambda t: dominant_eig(a0 + t * a1, solver=solver)[0]
+        return jax.grad(f)(jnp.float64(0.0))
+
+    np.testing.assert_allclose(dlam("gmres"), dlam("bicgstab"), rtol=1e-8)

@@ -156,3 +156,32 @@ def test_power_iteration_early_exit_and_info():
         f, (jnp.float64(0.0),), (jnp.float64(1.0),))
     np.testing.assert_allclose(dlam, 1.0, rtol=1e-9)
     assert float(dinfo.residual) == 0.0
+
+
+def test_arnoldi_method_near_degenerate_beats_power():
+    """Arnoldi-seeded forward: on a spectrum with gap 5e-3 the power
+    budget is exhausted unconverged while the Krylov sweep converges in
+    O(1) polish iterations; gradients are unchanged (the IFT rule only
+    needs the converged triple)."""
+    n = 120
+    rng = np.random.default_rng(70)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    d = np.concatenate([[1.0, 0.995], 0.5 * rng.random(n - 2)])
+    a = jnp.asarray(q @ np.diag(d) @ q.T + 1e-3 * rng.standard_normal((n, n)))
+
+    _, _, _, info_p = dominant_eig(a, num_iters=300, with_info=True)
+    assert float(info_p.converged) == 0.0      # power starves
+
+    lam, l, r, info_a = dominant_eig(a, num_iters=300, with_info=True,
+                                     method="arnoldi", arnoldi_k=50)
+    assert float(info_a.converged) == 1.0
+    assert float(info_a.iterations) <= 5
+    w = np.linalg.eigvals(np.asarray(a))
+    np.testing.assert_allclose(float(lam), np.max(w.real), rtol=1e-10)
+
+    a1 = jnp.asarray(rng.standard_normal((n, n)))
+    f = lambda t: dominant_eig(a + t * a1, method="arnoldi",
+                               arnoldi_k=50)[0]
+    g = jax.grad(f)(jnp.float64(0.0))
+    fd = (f(jnp.float64(1e-6)) - f(jnp.float64(-1e-6))) / 2e-6
+    np.testing.assert_allclose(g, fd, rtol=1e-5)

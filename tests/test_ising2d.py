@@ -266,11 +266,21 @@ def test_correlation_length():
     assert float(dxi) > 0  # xi grows approaching beta_c from below
 
 
-def test_correlation_length_ordered_phase_saturates_positive():
-    """Deep in the ordered phase the top transfer pair is degenerate to
-    round-off and the raw gap can go NEGATIVE numerically; the clamp must
-    return a huge positive xi (divergence signal), never a negative one."""
-    from dominantsparseeigenad_tpu.models import correlation_length
+def test_correlation_length_ordered_phase():
+    """Deep in the ordered phase the top transfer pair is quasi-degenerate
+    (gap ~2e-4 at chi=10): plain power iteration returned round-off there
+    (and could even make the gap negative), while the Arnoldi-seeded
+    forward resolves the true finite-chi gap — xi must be large, POSITIVE,
+    and match the dense-eig oracle."""
+    from dominantsparseeigenad_tpu.models import (correlation_length,
+                                                  transfer_operator)
 
-    xi = float(correlation_length(jnp.float64(0.5), chi=10, n_steps=15))
-    assert xi > 1e10
+    b = 0.5
+    c, e, t = ctmrg_environment(jnp.float64(b), chi=10, n_steps=15)
+    w = np.abs(np.linalg.eigvals(np.asarray(transfer_operator(c, e, t)
+                                            .to_dense())))
+    w = np.sort(w)[::-1]
+    xi_exact = 1.0 / np.log(w[0] / w[1])
+    xi = float(correlation_length(jnp.float64(b), chi=10, n_steps=15))
+    assert xi > 100  # ordered phase: huge but finite at finite chi
+    np.testing.assert_allclose(xi, xi_exact, rtol=1e-4)
