@@ -39,6 +39,7 @@ from .ops import (
     solve_general,
     dominant_eigh,
     dominant_eigh_multi,
+    refine_eigenpair,
     EighOptions,
     EighMultiOptions,
     dominant_eig,

@@ -16,7 +16,7 @@ from .cg import (cg, cg_info, bicgstab, gmres, minres, solve_spd,
                  solve_symmetric, solve_deflated, solve_deflated_info,
                  solve_general)
 from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
-                   EighMultiOptions)
+                   EighMultiOptions, refine_eigenpair)
 from .eig import dominant_eig, EigOptions, PowerInfo
 from .sparse import (COOOperator, CSROperator, BCOOOperator, BellOperator,
                      random_bell_operator)
@@ -39,7 +39,7 @@ __all__ = [
     "cg", "cg_info", "bicgstab", "gmres", "minres", "solve_spd",
     "solve_symmetric", "solve_deflated", "solve_deflated_info",
     "solve_general",
-    "dominant_eigh", "dominant_eigh_multi", "EighOptions",
+    "dominant_eigh", "dominant_eigh_multi", "refine_eigenpair", "EighOptions",
     "EighMultiOptions", "dominant_eig", "EigOptions", "PowerInfo",
     "COOOperator", "CSROperator", "BCOOOperator", "BellOperator",
     "random_bell_operator",

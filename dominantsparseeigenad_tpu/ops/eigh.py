@@ -327,3 +327,53 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
     if with_info:
         return _dominant_eigh_info(op, extreme, opts)
     return _dominant_eigh(op, extreme, opts)
+
+
+def refine_eigenpair(op, lam, v, *, iters: int = 2, tol: float = 1e-12,
+                     maxiter: int | None = None,
+                     definite_sign: float | None = None):
+    """Mixed-precision Newton refinement of a symmetric eigenpair.
+
+    The TPU recipe (SURVEY.md §7 hard part 6): run the Krylov forward in
+    the hardware's fast precision (f32/bf16), then polish the pair
+    against a HIGHER-precision operator with a handful of Newton steps —
+    each iteration is one Rayleigh-quotient update plus one deflated
+    solve of
+
+        (A - λ I) dv = -(A v - λ v)   on  v⊥,
+
+    converging quadratically, so ``iters=2`` takes an f32-accurate pair
+    (residual ~1e-6) to f64 round-off at the cost of ~2 deflated solves
+    in the expensive precision instead of a full f64 Krylov run.
+
+    Parameters
+    ----------
+    op   : the operator in the TARGET precision (e.g. rebuilt with
+           ``dtype=jnp.float64``); ``lam``/``v`` are cast to its dtype.
+    definite_sign : +1 if ``lam`` is the algebraic minimum, -1 for the
+           maximum (enables CG on the deflated system); ``None`` uses
+           MINRES, valid for any (also interior) eigenvalue.
+    iters : Newton steps (static; each is a ``lax``-free python loop —
+           gradients flow straight through if differentiated, though
+           the intended use is a forward-only accuracy upgrade).
+
+    Returns ``(lam, v)`` in the operator's dtype, ``||v|| = 1``.
+    """
+    op = as_operator(op)
+    dtype = op.dtype
+    v = jnp.asarray(v, dtype)
+    v = v / jnp.linalg.norm(v)
+    lam = jnp.real(jnp.asarray(lam)).astype(jnp.finfo(dtype).dtype)
+    method = "minres" if definite_sign is None else "cg"
+    sign = 1.0 if definite_sign is None else float(definite_sign)
+    for _ in range(int(iters)):
+        av = op.matvec(v)
+        lam = jnp.real(jnp.vdot(v, av)).astype(lam.dtype)  # Rayleigh
+        r = av - lam * v
+        dv = solve_deflated(op, lam, v, -r, definite_sign=sign,
+                            method=method, tol=tol, maxiter=maxiter)
+        v = v + dv
+        v = v / jnp.linalg.norm(v)
+    av = op.matvec(v)
+    lam = jnp.real(jnp.vdot(v, av)).astype(lam.dtype)
+    return lam, v

@@ -153,3 +153,30 @@ def test_jit_and_value_and_grad():
 
     g = jax.jit(jax.grad(lambda a: f(a)[0]))(a)
     np.testing.assert_allclose(g, jnp.outer(v, v), atol=1e-8)
+
+
+def test_refine_eigenpair_mixed_precision():
+    """TPU recipe: cheap f32 Krylov forward, then 2 Newton polish steps
+    against the f64 operator reach f64 round-off — instead of a full f64
+    Krylov run (SURVEY hard part 6)."""
+    from dominantsparseeigenad_tpu import refine_eigenpair
+    from dominantsparseeigenad_tpu.models import tfim_dense_hamiltonian
+
+    n = 8
+    h64 = tfim_dense_hamiltonian(n, jnp.float64(0.9))
+    h32 = h64.astype(jnp.float32)
+
+    lam32, v32 = dominant_eigh(DenseOperator(h32), k=50, extreme="min")
+    w, vv = np.linalg.eigh(np.asarray(h64))
+    res32 = abs(float(lam32) - w[0])
+    assert res32 > 1e-12          # f32 really is the coarse tier
+
+    lam, v = refine_eigenpair(DenseOperator(h64), lam32, v32,
+                              definite_sign=+1.0)
+    np.testing.assert_allclose(float(lam), w[0], rtol=1e-14, atol=1e-13)
+    resid = np.linalg.norm(np.asarray(h64) @ np.asarray(v)
+                           - float(lam) * np.asarray(v))
+    assert resid < 1e-11
+    # Interior-safe MINRES path (definite_sign=None) reaches the same pair.
+    lam2, _ = refine_eigenpair(DenseOperator(h64), lam32, v32)
+    np.testing.assert_allclose(float(lam2), w[0], rtol=1e-14, atol=1e-13)
