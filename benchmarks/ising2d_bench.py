@@ -83,20 +83,20 @@ def bench_ours(platform):
     tries = ["tpu", "cpu"] if platform == "auto" else [platform]
     last_err = None
     for p in tries:
+        stage_timeout = TPU_STAGE_TIMEOUT if p == "tpu" else 600
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--_stage", "ours", "--platform", p,
                  "--chi", str(CHI), "--steps", str(STEPS)],
-                capture_output=True, text=True,
-                timeout=TPU_STAGE_TIMEOUT if p == "tpu" else 600,
+                capture_output=True, text=True, timeout=stage_timeout,
             )
             if r.returncode == 0:
                 rec = json.loads(r.stdout.strip().splitlines()[-1])
                 return rec["t"], rec["lnz"], rec["g"], rec["platform"]
             last_err = r.stderr[-500:]
         except subprocess.TimeoutExpired:
-            last_err = f"{p} stage timed out ({TPU_STAGE_TIMEOUT}s)"
+            last_err = f"{p} stage timed out ({stage_timeout}s)"
         except (json.JSONDecodeError, IndexError, KeyError) as e:
             # Zero-exit stage with unparseable stdout must degrade to the
             # next platform, not kill the fallback chain.

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .operators import LinearOperator, as_operator
+from .operators import LinearOperator, as_operator, tol_floor
 
 
 def _project_out(V: jax.Array, x: jax.Array) -> jax.Array:
@@ -60,6 +60,7 @@ def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
     r0 = b - matvec(x0)
     z0 = M(r0)
     bnorm2 = jnp.vdot(b, b).real
+    tol = tol_floor(tol, b.dtype)   # dtype-reachable target
     target2 = jnp.maximum(tol * tol * bnorm2, atol * atol)
 
     def cond(state):
@@ -100,6 +101,7 @@ def cg_info(matvec: Callable, b: jax.Array, *,
     x0 = jnp.zeros_like(b) if x0 is None else x0
     M = (lambda r: r) if precond is None else precond
     r0 = b - matvec(x0)
+    tol = tol_floor(tol, b.dtype)   # dtype-reachable target
     target2 = jnp.maximum((tol * tol) * jnp.vdot(b, b).real, atol * atol)
 
     def cond(s):
@@ -142,6 +144,7 @@ def minres(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
     x0 = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x0)
     beta1 = jnp.linalg.norm(r)
+    tol = tol_floor(tol, b.dtype)   # dtype-reachable target
     target = tol * jnp.linalg.norm(b)
     zero = jnp.zeros_like(beta1)
 
@@ -210,6 +213,7 @@ def bicgstab(matvec: Callable, b: jax.Array, *,
         maxiter = 10 * b.shape[-1]
     x0 = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - matvec(x0)
+    tol = tol_floor(tol, b.dtype)   # dtype-reachable target
     target2 = jnp.maximum(tol * tol * jnp.vdot(b, b).real, atol * atol)
     one = jnp.ones((), b.dtype)
     # scipy-style near-breakdown threshold: |rho| <= eps*||rhat||*||r||
@@ -286,6 +290,8 @@ def gmres(matvec: Callable, b: jax.Array, *,
     ``maxiter`` bounds the total number of inner (Arnoldi) steps; the
     default matches the other solvers' ``10 * N`` budget.
     """
+    from .lanczos import arnoldi_step
+
     n = b.shape[-1]
     m = max(1, min(int(restart), n))
     if maxiter is None:
@@ -294,53 +300,37 @@ def gmres(matvec: Callable, b: jax.Array, *,
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
     real_dtype = jnp.finfo(dtype).dtype
+    tol = tol_floor(tol, b.dtype)   # dtype-reachable target
     target2 = jnp.maximum(tol * tol * jnp.vdot(b, b).real, atol * atol)
     tiny = jnp.finfo(real_dtype).tiny
 
-    def cycle(x):
-        r = b - matvec(x)
+    def cond(s):
+        _, r, it = s
+        return jnp.logical_and(jnp.vdot(r, r).real > target2,
+                               it < max_cycles)
+
+    def body(s):
+        x, r, it = s
         beta = jnp.linalg.norm(r)
         v0 = r / jnp.maximum(beta, tiny)
         basis0 = jnp.zeros((m + 1, n), dtype).at[0].set(v0)
         h0 = jnp.zeros((m + 1, m), dtype)
 
         def arnoldi(carry, j):
-            basis, h = carry
-            w = matvec(basis[j])
-            # Modified-Gram-Schmidt as two full-block matmuls (unwritten
-            # rows are zero, so the masked projection is exact), plus one
-            # refinement pass — the classical "twice is enough".
-            coeffs = basis.conj() @ w
-            w = w - basis.T @ coeffs
-            extra = basis.conj() @ w
-            w = w - basis.T @ extra
-            coeffs = coeffs + extra
-            hj = jnp.linalg.norm(w).astype(real_dtype)
-            # Happy breakdown: leave the next basis row zero — later
-            # Arnoldi steps then produce zero columns, and the masked
-            # least-squares below simply ignores them.
-            w = jnp.where(hj > tiny, w / jnp.maximum(hj, tiny),
-                          jnp.zeros_like(w))
-            basis = basis.at[j + 1].set(w)
-            h = h.at[:, j].set(coeffs.at[j + 1].set(hj.astype(dtype)))
-            return (basis, h), None
+            return arnoldi_step(matvec, *carry, j), None
 
         (basis, h), _ = lax.scan(arnoldi, (basis0, h0), jnp.arange(m))
         rhs = jnp.zeros((m + 1,), dtype).at[0].set(beta.astype(dtype))
         y, *_ = jnp.linalg.lstsq(h, rhs)
-        return x + basis[:m].T @ y
+        x = x + basis[:m].T @ y
+        # Residual via the Arnoldi relation A V_m y = V_{m+1} (H y):
+        # no extra matvec per cycle (exact to the factorization's
+        # round-off, which is where the residual lives anyway).
+        r = r - basis.T @ (h @ y)
+        return x, r, it + 1
 
-    def cond(s):
-        x, it = s
-        r = b - matvec(x)
-        return jnp.logical_and(jnp.vdot(r, r).real > target2,
-                               it < max_cycles)
-
-    def body(s):
-        x, it = s
-        return cycle(x), it + 1
-
-    x, _ = lax.while_loop(cond, body, (x0, jnp.zeros((), jnp.int32)))
+    x, _, _ = lax.while_loop(
+        cond, body, (x0, b - matvec(x0), jnp.zeros((), jnp.int32)))
     return x
 
 
@@ -497,9 +487,15 @@ def solve_general(matvec: Callable, rmatvec: Callable, b: jax.Array, *,
             f"method must be bicgstab|cgnr|gmres, got {method!r}")
 
     def _cgnr(mv, rmv, rhs):
+        # CG needs the Hermitian PSD A^H A, not the complex-symmetric
+        # A^T A: take the adjoint of the (bilinear-transpose) rmv.
+        # Identity for real dtypes.
+        def adj(x):
+            return jnp.conj(rmv(jnp.conj(x)))
+
         def normal_mv(x):
-            return rmv(mv(x))
-        return cg(normal_mv, rmv(rhs), tol=tol, maxiter=maxiter)
+            return adj(mv(x))
+        return cg(normal_mv, adj(rhs), tol=tol, maxiter=maxiter)
 
     if method == "cgnr":
         fwd = lambda mv, rhs: _cgnr(matvec, rmatvec, rhs)

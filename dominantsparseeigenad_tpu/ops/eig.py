@@ -86,6 +86,8 @@ def _arnoldi_ritz_vector(mv, n, k, key, dtype):
     and MXU work.  Assumes the Perron setting (dominant eigenvalue
     real, simple) like the surrounding solver.
     """
+    from .lanczos import arnoldi_step
+
     real_dtype = jnp.finfo(dtype).dtype
     tiny = jnp.finfo(real_dtype).tiny
     q0 = jax.random.normal(key, (n,), dtype=dtype)
@@ -94,19 +96,7 @@ def _arnoldi_ritz_vector(mv, n, k, key, dtype):
     h0 = jnp.zeros((k + 1, k), dtype)
 
     def step(carry, j):
-        basis, h = carry
-        w = mv(basis[j])
-        coeffs = basis.conj() @ w
-        w = w - basis.T @ coeffs
-        extra = basis.conj() @ w
-        w = w - basis.T @ extra
-        coeffs = coeffs + extra
-        hj = jnp.linalg.norm(w).astype(real_dtype)
-        w = jnp.where(hj > tiny, w / jnp.maximum(hj, tiny),
-                      jnp.zeros_like(w))
-        basis = basis.at[j + 1].set(w)
-        h = h.at[:, j].set(coeffs.at[j + 1].set(hj.astype(dtype)))
-        return (basis, h), None
+        return arnoldi_step(mv, *carry, j), None
 
     (basis, h), _ = lax.scan(step, (basis0, h0), jnp.arange(k))
     hk = h[:k, :k]
@@ -236,8 +226,16 @@ def _bordered_solve(mv, rmv, u, w, b, tol, maxiter, method="bicgstab"):
 
     if method == "cgnr":
         def _solver(fwd_op, bwd_op):
+            # Normal equations need the Hermitian ADJOINT of fwd_op, not
+            # the bilinear transpose bwd_op: CG requires Hermitian PSD
+            # B^H B, while B^T B is merely complex-symmetric (CG silently
+            # mis-solves it).  B^H x = conj(B^T conj(x)); identity for
+            # real dtypes.
+            def adj(x):
+                return jnp.conj(bwd_op(jnp.conj(x)))
+
             def run(rhs):
-                return cg(lambda x: bwd_op(fwd_op(x)), bwd_op(rhs),
+                return cg(lambda x: adj(fwd_op(x)), adj(rhs),
                           tol=tol, maxiter=maxiter)
             return run
         fwd = _solver(amv, armv)

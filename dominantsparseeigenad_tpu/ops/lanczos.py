@@ -64,6 +64,33 @@ class LanczosInfo(NamedTuple):
     converged: jax.Array
 
 
+def arnoldi_step(mv, basis, h, j):
+    """One Arnoldi step: extend ``basis`` (rows; rows > j zero) and write
+    Hessenberg column ``j`` of ``h``.
+
+    Two-pass block Gram-Schmidt ("twice is enough") as full-basis matmuls
+    — the masked projection against zero rows is exact and lands on the
+    MXU.  Happy breakdown leaves the next basis row zero; downstream
+    consumers (GMRES least-squares, Ritz extraction) then see zero
+    columns, which is the correct masked behavior.  Shared by
+    :func:`~.cg.gmres` and the Arnoldi-seeded ``dominant_eig`` forward.
+    """
+    dtype = basis.dtype
+    real_dtype = jnp.finfo(dtype).dtype
+    tiny = jnp.finfo(real_dtype).tiny
+    w = mv(basis[j])
+    coeffs = basis.conj() @ w
+    w = w - basis.T @ coeffs
+    extra = basis.conj() @ w
+    w = w - basis.T @ extra
+    coeffs = coeffs + extra
+    hj = jnp.linalg.norm(w).astype(real_dtype)
+    w = jnp.where(hj > tiny, w / jnp.maximum(hj, tiny), jnp.zeros_like(w))
+    basis = basis.at[j + 1].set(w)
+    h = h.at[:, j].set(coeffs.at[j + 1].set(hj.astype(dtype)))
+    return basis, h
+
+
 def _tridiagonal(alphas: jax.Array, betas: jax.Array) -> jax.Array:
     k = alphas.shape[0]
     t = jnp.diag(alphas)

@@ -180,3 +180,29 @@ def test_complex_nonsymmetric_dominant_eig_grads():
         num = (f(t0 + eps) - f(t0 - eps)) / (2 * eps)
         np.testing.assert_allclose(g_fwd, num, rtol=2e-5)
         np.testing.assert_allclose(g_rev, num, rtol=2e-5)
+
+
+def test_complex_nonsymmetric_cgnr_solver_grads():
+    """solver='cgnr' must produce the same complex gradients as bicgstab:
+    the normal equations require the Hermitian adjoint A^H A (CG on the
+    complex-symmetric bilinear A^T A silently mis-solves)."""
+    from dominantsparseeigenad_tpu.ops.eig import dominant_eig
+
+    n = 20
+    rng = np.random.default_rng(21)
+    a0 = _cnonsym(n, rng)
+    a1 = jnp.asarray(0.5 * (rng.standard_normal((n, n))
+                            + 1j * rng.standard_normal((n, n))))
+    wv = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+
+    def f(t, solver):
+        _, l, v = dominant_eig(a0 + t * a1, num_iters=1000,
+                               power_tol=1e-12, solver=solver)
+        return jnp.abs(jnp.sum(wv * v)) ** 2 + jnp.abs(jnp.sum(wv * l)) ** 2
+
+    t0, eps = jnp.float64(0.0), 1e-6
+    num = (f(t0 + eps, "cgnr") - f(t0 - eps, "cgnr")) / (2 * eps)
+    for mode in (jax.grad, lambda fn: lambda t: jax.jvp(
+            fn, (t,), (jnp.float64(1.0),))[1]):
+        g = mode(lambda t: f(t, "cgnr"))(t0)
+        np.testing.assert_allclose(g, num, rtol=2e-4)
