@@ -15,8 +15,20 @@ import os
 import jax
 import jax.numpy as jnp
 
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat not in ("", "axon"):  # baked-in axon is not a user override
+    jax.config.update("jax_platforms", _plat)
+else:
+    # A distributed driver needs a multi-device mesh.  This environment
+    # exposes ONE tunneled TPU chip (whose compile service also rejects
+    # the degenerate 1-device all-reduce), so without an explicit
+    # platform choice fall back to an 8-virtual-device CPU mesh — the
+    # same sharded program a pod slice would run, minus the ICI.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():

@@ -11,8 +11,12 @@ import os
 import jax
 import jax.numpy as jnp
 
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# f64 drive: default to the CPU backend (TPU f64 is emulated, slow and
+# NaN-prone; SURVEY hard part 6 — validate in f64 on CPU, run perf in
+# f32 on TPU).  This image bakes JAX_PLATFORMS=axon into the shell, so
+# that ambient value is NOT a user override; anything else is.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+jax.config.update("jax_platforms", "cpu" if _plat in ("", "axon") else _plat)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

@@ -48,6 +48,10 @@ def main():
     # smooth enough that f32 differentiation still resolves the ~1e-4
     # truncation errors being reported.
     if not args.f32:
+        if os.environ.get("JAX_PLATFORMS", "axon") in ("", "axon"):
+            # f64 flows validate on CPU (the baked-in JAX_PLATFORMS=axon
+            # is not a user override); --f32 is the accelerator path.
+            jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float32 if args.f32 else jnp.float64
 

@@ -32,6 +32,11 @@ def main():
     args = ap.parse_args()
 
     if args.dtype == "f64":
+        if os.environ.get("JAX_PLATFORMS", "axon") in ("", "axon"):
+            # f64 on the TPU backend is emulated and NaN-prone; validate
+            # in f64 on CPU (f32 stays on the accelerator).  The image
+            # bakes JAX_PLATFORMS=axon in; that's not a user override.
+            jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
 
