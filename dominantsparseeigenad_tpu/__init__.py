@@ -43,6 +43,7 @@ from .ops import (
     EighOptions,
     EighMultiOptions,
     dominant_eig,
+    dominant_eig_multi,
     EigOptions,
     PowerInfo,
     COOOperator,

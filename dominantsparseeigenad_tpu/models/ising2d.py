@@ -391,47 +391,26 @@ def transfer_spectral_gap(beta, *, chi: int = 16, n_steps: int = 30,
 
 def correlation_length(beta, *, chi: int = 16, n_steps: int = 30,
                        num_iters: int = 600, dtype=jnp.float64):
-    """Correlation length xi = 1 / ln(lam1/lam2) from the two leading
-    transfer eigenvalues — the second obtained by running the SAME
-    dominant eigensolver on the rank-1-deflated operator
-
-        M2 = M - lam1 * r1 l1^T    (l1^T r1 = 1),
-
-    built with the framework's lazy operator algebra, so the whole chain
-    (CTMRG environment -> lam1 eigentriple -> deflation -> lam2 -> xi) is
+    """Correlation length xi = 1 / ln(lam1/|lam2|) from the two leading
+    transfer eigenvalues via :func:`~..ops.eig.dominant_eig_multi`
+    (m=2 Wielandt deflation, Arnoldi-seeded — both solves face the
+    near-degenerate spectra this observable exists to probe), so the
+    whole chain (CTMRG environment -> top-2 eigentriples -> xi) is
     differentiable in beta.  Valid in the disordered phase (simple
     Perron root); in the ordered phase the top pair degenerates, the
-    numerical gap ln(lam1/|lam2|) shrinks to round-off and can even go
-    negative, so it is clamped at machine epsilon — xi then saturates at
-    a huge POSITIVE value (~1/eps), signaling divergence instead of
-    returning a nonsense negative length.
+    numerical gap shrinks to round-off and can even go negative, so it
+    is clamped at machine epsilon — xi then saturates at a huge
+    POSITIVE value (~1/eps), signaling divergence instead of returning
+    a nonsense negative length.
     """
-    from ..ops.operators import MatrixFreeOperator
+    from ..ops.eig import dominant_eig_multi
 
     c, e, t = ctmrg_environment(beta, chi=chi, n_steps=n_steps, dtype=dtype)
     op = transfer_operator(c, e, t)
-    # Arnoldi-seeded forwards: both solves face the near-degenerate
-    # spectra this observable exists to probe (the deflated second solve
-    # sits right at the gap the power method pays O(1/gap) for).
-    ak = min(48, op.dim)
-    lam1, l1, r1 = dominant_eig(op, num_iters=num_iters, method="arnoldi",
-                                arnoldi_k=ak)
-
-    def mv(params, x):
-        lam1, l1, r1, a = params
-        return a @ x - lam1 * r1 * (l1 @ x)
-
-    def rmv(params, x):
-        lam1, l1, r1, a = params
-        return a.T @ x - lam1 * l1 * (r1 @ x)
-
-    deflated = MatrixFreeOperator(mv, (lam1, l1, r1, op.a), dim=op.dim,
-                                  dtype=op.dtype, rmatvec_fn=rmv,
-                                  symmetric=False)
-    lam2, _, _ = dominant_eig(deflated, num_iters=num_iters, seed=3,
-                              method="arnoldi", arnoldi_k=ak)
-    gap = jnp.log(lam1 / jnp.abs(lam2))
-    return 1.0 / jnp.maximum(gap, jnp.finfo(jnp.asarray(lam1).dtype).eps)
+    lams, _, _ = dominant_eig_multi(op, m=2, num_iters=num_iters,
+                                    arnoldi_k=min(48, op.dim))
+    gap = jnp.log(lams[0] / jnp.abs(lams[1]))
+    return 1.0 / jnp.maximum(gap, jnp.finfo(jnp.asarray(lams).dtype).eps)
 
 
 # ---------------------------------------------------------------------------

@@ -17,7 +17,7 @@ from .cg import (cg, cg_info, bicgstab, gmres, minres, solve_spd,
                  solve_general)
 from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
                    EighMultiOptions, refine_eigenpair)
-from .eig import dominant_eig, EigOptions, PowerInfo
+from .eig import dominant_eig, dominant_eig_multi, EigOptions, PowerInfo
 from .sparse import (COOOperator, CSROperator, BCOOOperator, BellOperator,
                      random_bell_operator)
 from .pallas_spmv import bell_spmv
@@ -40,7 +40,8 @@ __all__ = [
     "solve_symmetric", "solve_deflated", "solve_deflated_info",
     "solve_general",
     "dominant_eigh", "dominant_eigh_multi", "refine_eigenpair", "EighOptions",
-    "EighMultiOptions", "dominant_eig", "EigOptions", "PowerInfo",
+    "EighMultiOptions", "dominant_eig", "dominant_eig_multi",
+    "EigOptions", "PowerInfo",
     "COOOperator", "CSROperator", "BCOOOperator", "BellOperator",
     "random_bell_operator",
     "bell_spmv",

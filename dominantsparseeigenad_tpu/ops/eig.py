@@ -373,3 +373,66 @@ def dominant_eig(op, num_iters: int = 500, *, tol: float = 1e-10,
     if with_info:
         return _dominant_eig_info(op, opts)
     return _dominant_eig(op, opts)
+
+
+def dominant_eig_multi(op, m: int = 2, *, num_iters: int = 500,
+                       tol: float = 1e-10, maxiter: int | None = None,
+                       seed: int = 0, power_tol: float = 1e-12,
+                       solver: str = "bicgstab", method: str = "arnoldi",
+                       arnoldi_k: int = 32):
+    """Top-m eigentriples (by |λ|) of a general square operator.
+
+    Sequential rank-1 deflation through the operator algebra: after each
+    converged triple the next solve runs on
+
+        M_{j+1} = M_j - λ_j r_j l_j^T     (l_j^T r_j = 1),
+
+    which removes λ_j from the spectrum exactly while every remaining
+    eigenvalue (and its left/right vectors) is untouched — the standard
+    Wielandt deflation, built lazily with :class:`MatrixFreeOperator`
+    so no dense matrix is formed.  Each stage is the fully
+    differentiable :func:`dominant_eig` (IFT ``custom_jvp``), so
+    spectral gaps, correlation lengths and their parameter derivatives
+    of any order fall out of ``jax.grad`` (the 2D Ising
+    ``correlation_length`` is exactly the ``m=2`` case of this).
+
+    Defaults to the Arnoldi-seeded forward — sub-dominant transfer
+    eigenvalues are typically clustered, exactly where plain power
+    iteration pays O(1/gap).
+
+    Returns ``(lams, ls, rs)``: ``lams`` (m,) in descending ``|λ|``
+    order, ``ls``/``rs`` (n, m) with ``||r_j|| = 1``, ``l_j^T r_j = 1``.
+    Assumes the top-m eigenvalues are simple (Perron-type spectra).
+    """
+    op = as_operator(op)
+    m = int(m)
+    if m < 1:
+        raise ValueError("m must be >= 1")
+
+    def _deflated_mv(params, x):
+        lam, l, r, inner = params
+        return inner.matvec(x) - lam * r * jnp.sum(l * x)
+
+    def _deflated_rmv(params, x):
+        lam, l, r, inner = params
+        return inner.rmatvec(x) - lam * l * jnp.sum(r * x)
+
+    from .operators import MatrixFreeOperator
+
+    lams, ls, rs = [], [], []
+    cur = op
+    for j in range(m):
+        lam, l, r = dominant_eig(cur, num_iters=num_iters, tol=tol,
+                                 maxiter=maxiter, seed=seed + j,
+                                 power_tol=power_tol, solver=solver,
+                                 method=method, arnoldi_k=arnoldi_k)
+        lams.append(lam)
+        ls.append(l)
+        rs.append(r)
+        if j + 1 < m:
+            cur = MatrixFreeOperator(_deflated_mv, (lam, l, r, cur),
+                                     dim=op.dim, dtype=op.dtype,
+                                     rmatvec_fn=_deflated_rmv,
+                                     symmetric=False)
+    return (jnp.stack(lams), jnp.stack(ls, axis=-1),
+            jnp.stack(rs, axis=-1))

@@ -185,3 +185,37 @@ def test_arnoldi_method_near_degenerate_beats_power():
     g = jax.grad(f)(jnp.float64(0.0))
     fd = (f(jnp.float64(1e-6)) - f(jnp.float64(-1e-6))) / 2e-6
     np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+def test_dominant_eig_multi_matches_numpy_and_grads():
+    """Sequential Wielandt deflation: top-m eigenvalues match numpy on a
+    real-spectrum matrix; the spectral gap's gradient matches FD (chained
+    IFT rules through the lazily deflated operators)."""
+    from dominantsparseeigenad_tpu import dominant_eig_multi
+
+    n = 40
+    rng = np.random.default_rng(81)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    d = np.concatenate([[5.0, 4.0, 3.0], rng.random(n - 3)])
+    a = jnp.asarray(q @ np.diag(d) @ q.T + 0.02 * rng.standard_normal((n, n)))
+
+    lams, ls, rs = dominant_eig_multi(a, m=3)
+    w = np.linalg.eigvals(np.asarray(a))
+    w_top = np.real(w[np.argsort(-np.abs(w))][:3])
+    np.testing.assert_allclose(np.asarray(lams), w_top, rtol=1e-9)
+    # Triple residuals and normalization for every stage.
+    for j in range(3):
+        r, l, lam = rs[:, j], ls[:, j], lams[j]
+        assert float(jnp.linalg.norm(a @ r - lam * r)) < 1e-7
+        assert float(jnp.linalg.norm(a.T @ l - lam * l)) < 1e-6
+        np.testing.assert_allclose(float(jnp.sum(l * r)), 1.0, rtol=1e-8)
+
+    a1 = jnp.asarray(rng.standard_normal((n, n)))
+
+    def gapf(t):
+        lams, _, _ = dominant_eig_multi(a + t * a1, m=2)
+        return lams[0] - jnp.abs(lams[1])
+
+    g = jax.grad(gapf)(jnp.float64(0.0))
+    fd = (gapf(jnp.float64(1e-6)) - gapf(jnp.float64(-1e-6))) / 2e-6
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
