@@ -1,0 +1,36 @@
+"""Smoke tests: every example driver must run end-to-end with tiny args
+and produce finite numbers (regression: the drivers silently routed f64
+onto the emulated-TPU backend and NaN'd / crashed — examples are user
+surface, so they get the same guardrails as the library)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+
+_CASES = [
+    ("tfim_ed.py", ["--n", "6", "--points", "2"]),
+    ("tfim_sparse.py", ["--n", "8", "--points", "2", "--k", "40"]),
+    ("heisenberg.py", ["--n", "6", "--points", "3", "--k", "40"]),
+    ("spectral.py", ["--n", "6", "--points", "2"]),
+    ("ising2d.py", ["--points", "2", "--chi", "8", "--steps", "8"]),
+    ("distributed_lanczos.py", ["--n", "8", "--k", "30"]),
+]
+
+
+@pytest.mark.parametrize("script,args", _CASES,
+                         ids=[c[0] for c in _CASES])
+def test_example_runs_clean(script, args):
+    env = dict(os.environ)
+    # The examples pick their own platform (CPU for f64 validation); make
+    # sure the test harness's own pinning doesn't leak in.
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(_ROOT, "examples", script), *args],
+        capture_output=True, text=True, timeout=420, cwd=_ROOT, env=env)
+    assert r.returncode == 0, f"{script} failed:\n{r.stderr[-2000:]}"
+    assert "nan" not in r.stdout.lower(), (
+        f"{script} produced NaN:\n{r.stdout[-2000:]}")
