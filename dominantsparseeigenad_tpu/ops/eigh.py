@@ -56,6 +56,12 @@ class EighOptions:
     reorth_passes: int = 2
     restart_cycles: int = 0
     early_exit_tol: float | None = None
+    # Optional SPD approximate inverse z = M^{-1} r applied inside the
+    # deflated tangent solves (projected to span(V)^perp by cg).  Static
+    # aux data: hashed by identity, so pass a stable callable (module
+    # function / functools.partial held by the caller), not a fresh
+    # lambda per call, or jit will re-trace.
+    precond: object = None
 
 
 def _forward(op, extreme: str, opts: EighOptions):
@@ -118,7 +124,8 @@ def _pair_jvp(op, dop, lam, v, sign, opts):
         dlam = jnp.real(dlam)
     rhs = -(dAv - dlam * v)  # = -(I - vv^T) dA v
     dv = solve_deflated(op, lam, v, rhs, definite_sign=sign,
-                        tol=opts.tol, maxiter=opts.maxiter)
+                        tol=opts.tol, maxiter=opts.maxiter,
+                        precond=opts.precond)
     return dlam, dv
 
 
@@ -274,7 +281,7 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
                   seed: int = 0, reorthogonalize: bool = True,
                   reorth_passes: int = 2, restart_cycles: int = 0,
                   early_exit_tol: float | None = None,
-                  with_info: bool = False):
+                  with_info: bool = False, precond=None):
     """Extremal eigenpair(s) of a symmetric operator, differentiable to all
     orders w.r.t. the operator's pytree parameters.
 
@@ -297,6 +304,13 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
               segments that stop once the Ritz residual estimate drops
               below this relative tolerance, so a conservative ``k`` pays
               only the matvecs it needs.
+    precond : optional SPD approximate inverse ``z = M^{-1} r`` used by
+              the deflated CG in every derivative solve (projected to the
+              deflation complement automatically) — e.g. a Jacobi inverse
+              for diagonally dominant Hamiltonians.  Pass a STABLE
+              callable (module function or a partial the caller keeps
+              alive): it rides in the jit-static config, keyed by
+              identity.
     with_info : also return a :class:`~.lanczos.LanczosInfo` convergence
               report (effective k, Ritz residual, converged flag — zero
               tangents, so it composes with jvp/grad).  Without
@@ -323,7 +337,7 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
                        reorth_passes=int(reorth_passes),
                        restart_cycles=int(restart_cycles),
                        early_exit_tol=None if early_exit_tol is None
-                       else float(early_exit_tol))
+                       else float(early_exit_tol), precond=precond)
     if with_info:
         return _dominant_eigh_info(op, extreme, opts)
     return _dominant_eigh(op, extreme, opts)

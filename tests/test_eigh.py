@@ -180,3 +180,39 @@ def test_refine_eigenpair_mixed_precision():
     # Interior-safe MINRES path (definite_sign=None) reaches the same pair.
     lam2, _ = refine_eigenpair(DenseOperator(h64), lam32, v32)
     np.testing.assert_allclose(float(lam2), w[0], rtol=1e-14, atol=1e-13)
+
+
+def test_dominant_eigh_preconditioned_gradients():
+    """precond= threads a Jacobi inverse into the IFT tangent solves:
+    gradients match the unpreconditioned path, and the same
+    preconditioner measurably cuts the deflated-CG iteration count."""
+    from dominantsparseeigenad_tpu.ops.cg import solve_deflated_info
+
+    n = 300
+    rng = np.random.default_rng(90)
+    diag = jnp.asarray(np.linspace(1.0, 3000.0, n))
+    offd = jnp.asarray(rng.standard_normal((n, n))) * 0.5
+    h0 = jnp.diag(diag) + (offd + offd.T) / 2
+    h1 = jnp.asarray(rng.standard_normal((n, n)))
+    h1 = (h1 + h1.T) / 2
+
+    inv_diag = 1.0 / jnp.diagonal(h0)
+    jacobi = lambda r: inv_diag * r  # held alive for the whole test
+
+    def e0(g, **kw):
+        return dominant_eigh(DenseOperator(h0 + g * h1), k=80,
+                             extreme="min", tol=1e-11, **kw)[0]
+
+    g0 = jnp.float64(0.05)
+    grad_plain = jax.grad(e0)(g0)
+    grad_pc = jax.grad(lambda g: e0(g, precond=jacobi))(g0)
+    np.testing.assert_allclose(grad_pc, grad_plain, rtol=1e-9)
+
+    # The preconditioner really does help on this spectrum.
+    lam, v = dominant_eigh(DenseOperator(h0), k=80, extreme="min")
+    b = jnp.asarray(rng.standard_normal(n))
+    _, it_plain, _ = solve_deflated_info(DenseOperator(h0), lam, v, b,
+                                         tol=1e-10)
+    _, it_pc, _ = solve_deflated_info(DenseOperator(h0), lam, v, b,
+                                      tol=1e-10, precond=jacobi)
+    assert float(it_pc) < 0.7 * float(it_plain)
