@@ -18,6 +18,8 @@ _CASES = [
     ("spectral.py", ["--n", "6", "--points", "2"]),
     ("ising2d.py", ["--points", "2", "--chi", "8", "--steps", "8"]),
     ("distributed_lanczos.py", ["--n", "8", "--k", "30"]),
+    ("transfer_spectrum.py",
+     ["--points", "2", "--chi", "8", "--steps", "10"]),
 ]
 
 
