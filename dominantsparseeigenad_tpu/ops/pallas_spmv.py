@@ -117,7 +117,7 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
         grid=(nb // g, max_blk),
         in_specs=[
             pl.BlockSpec((g, 1, bs, bs), lambda i, j, cols: (i, j, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM
         ],
         out_specs=pl.BlockSpec((g, bs), lambda i, j, cols: (i, 0)),
         scratch_shapes=[
