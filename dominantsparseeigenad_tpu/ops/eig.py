@@ -379,7 +379,7 @@ def dominant_eig_multi(op, m: int = 2, *, num_iters: int = 500,
                        tol: float = 1e-10, maxiter: int | None = None,
                        seed: int = 0, power_tol: float = 1e-12,
                        solver: str = "bicgstab", method: str = "arnoldi",
-                       arnoldi_k: int = 32):
+                       arnoldi_k: int = 32, with_info: bool = False):
     """Top-m eigentriples (by |λ|) of a general square operator.
 
     Sequential rank-1 deflation through the operator algebra: after each
@@ -402,7 +402,15 @@ def dominant_eig_multi(op, m: int = 2, *, num_iters: int = 500,
 
     Returns ``(lams, ls, rs)``: ``lams`` (m,) in descending ``|λ|``
     order, ``ls``/``rs`` (n, m) with ``||r_j|| = 1``, ``l_j^T r_j = 1``.
-    Assumes the top-m eigenvalues are simple (Perron-type spectra).
+    Assumes the top-m eigenvalues are simple (Perron-type spectra) —
+    notably, a complex-conjugate sub-dominant PAIR of a real operator
+    cannot be represented by a single real triple and the stage will
+    not converge: pass ``with_info=True`` and check each stage's
+    ``PowerInfo.converged`` to detect it instead of trusting the
+    output.
+
+    With ``with_info=True`` returns ``(lams, ls, rs, infos)`` where
+    ``infos`` is a :class:`PowerInfo` of (m,)-shaped fields.
     """
     op = as_operator(op)
     m = int(m)
@@ -419,13 +427,19 @@ def dominant_eig_multi(op, m: int = 2, *, num_iters: int = 500,
 
     from .operators import MatrixFreeOperator
 
-    lams, ls, rs = [], [], []
+    lams, ls, rs, infos = [], [], [], []
     cur = op
     for j in range(m):
-        lam, l, r = dominant_eig(cur, num_iters=num_iters, tol=tol,
-                                 maxiter=maxiter, seed=seed + j,
-                                 power_tol=power_tol, solver=solver,
-                                 method=method, arnoldi_k=arnoldi_k)
+        out = dominant_eig(cur, num_iters=num_iters, tol=tol,
+                           maxiter=maxiter, seed=seed + j,
+                           power_tol=power_tol, solver=solver,
+                           method=method, arnoldi_k=arnoldi_k,
+                           with_info=with_info)
+        if with_info:
+            lam, l, r, info = out
+            infos.append(info)
+        else:
+            lam, l, r = out
         lams.append(lam)
         ls.append(l)
         rs.append(r)
@@ -434,5 +448,7 @@ def dominant_eig_multi(op, m: int = 2, *, num_iters: int = 500,
                                      dim=op.dim, dtype=op.dtype,
                                      rmatvec_fn=_deflated_rmv,
                                      symmetric=False)
-    return (jnp.stack(lams), jnp.stack(ls, axis=-1),
-            jnp.stack(rs, axis=-1))
+    out = (jnp.stack(lams), jnp.stack(ls, axis=-1), jnp.stack(rs, axis=-1))
+    if with_info:
+        return out + (PowerInfo(*(jnp.stack(f) for f in zip(*infos))),)
+    return out

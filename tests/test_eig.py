@@ -219,3 +219,27 @@ def test_dominant_eig_multi_matches_numpy_and_grads():
     g = jax.grad(gapf)(jnp.float64(0.0))
     fd = (gapf(jnp.float64(1e-6)) - gapf(jnp.float64(-1e-6))) / 2e-6
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
+
+
+def test_dominant_eig_multi_flags_complex_pair():
+    """A complex-conjugate sub-dominant pair cannot be represented by a
+    real triple — the stage must REPORT non-convergence, not silently
+    return a wrong real eigenvalue."""
+    from dominantsparseeigenad_tpu import dominant_eig_multi
+
+    # Real dominant eigenvalue 3, then a complex pair of magnitude 2.
+    n = 30
+    rng = np.random.default_rng(82)
+    rot = np.zeros((n, n))
+    rot[0, 0] = 3.0
+    rot[1:3, 1:3] = 2.0 * np.array([[np.cos(0.7), -np.sin(0.7)],
+                                    [np.sin(0.7), np.cos(0.7)]])
+    rot[3:, 3:] = np.diag(0.3 * rng.random(n - 3))
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = jnp.asarray(q @ rot @ q.T)
+
+    lams, _, _, infos = dominant_eig_multi(a, m=2, num_iters=120,
+                                           with_info=True)
+    np.testing.assert_allclose(float(lams[0]), 3.0, rtol=1e-8)
+    assert float(infos.converged[0]) == 1.0
+    assert float(infos.converged[1]) == 0.0   # complex pair: flagged
