@@ -39,6 +39,8 @@ from .ops import (
     solve_general,
     dominant_eigh,
     dominant_eigh_multi,
+    lobpcg_eigh,
+    LobpcgInfo,
     refine_eigenpair,
     EighOptions,
     EighMultiOptions,

@@ -64,6 +64,11 @@ class EighOptions:
     precond: object = None
 
 
+def _columnwise(precond, r):
+    """Apply a vector-convention preconditioner to each column of ``r``."""
+    return jax.vmap(precond, in_axes=1, out_axes=1)(r)
+
+
 def _forward(op, extreme: str, opts: EighOptions):
     key = jax.random.PRNGKey(opts.seed)
     k = min(opts.k, op.dim)
@@ -182,11 +187,29 @@ class EighMultiOptions:
     seed: int = 0
     reorth_passes: int = 2
     gap_eps: float = 1e-12
+    method: str = "lanczos"
+    # SPD approximate inverse used BOTH by the LOBPCG forward (on the
+    # residual block) and by the deflated tangent solves.  Static aux
+    # data keyed by identity — pass a stable callable (see EighOptions).
+    precond: object = None
 
 
 def _multi_forward(op, extreme: str, opts: EighMultiOptions):
     key = jax.random.PRNGKey(opts.seed)
     k = min(opts.k, op.dim)
+    if opts.method == "lobpcg":
+        from .lobpcg import lobpcg_eigh
+        precond = opts.precond
+        if precond is not None:
+            # lobpcg preconditions the (N, r) residual BLOCK; user
+            # preconditioners here follow the vector convention of
+            # EighOptions.precond, so vmap over columns.
+            precond = partial(_columnwise, opts.precond)
+        # Unlike Lanczos steps, LOBPCG iterations are NOT bounded by the
+        # operator dimension (each refines the same (N, 3r) subspace), so
+        # the budget is opts.k unclamped.
+        return lobpcg_eigh(op, opts.r, extreme=extreme, maxiter=opts.k,
+                           tol=opts.tol, key=key, precond=precond)
     res = lanczos(op, k, key=key, reorth_passes=opts.reorth_passes)
     t = jnp.diag(res.alphas)
     if res.betas.shape[0]:
@@ -239,7 +262,8 @@ def _dominant_eigh_multi_jvp(extreme, opts, primals, tangents):
 
     def one(lam_i, b_i):
         return solve_deflated(op, lam_i, v, b_i, definite_sign=sign,
-                              tol=opts.tol, maxiter=opts.maxiter)
+                              tol=opts.tol, maxiter=opts.maxiter,
+                              precond=opts.precond)
 
     dv_out = jax.vmap(one, in_axes=(0, 1), out_axes=1)(lams, rhs)
     return (lams, v), (dlams, dv_in + dv_out)
@@ -248,15 +272,32 @@ def _dominant_eigh_multi_jvp(extreme, opts, primals, tangents):
 def dominant_eigh_multi(op, r: int = 4, k: int = 128, *,
                         extreme: str = "min", tol: float = 1e-8,
                         maxiter: int | None = None, seed: int = 0,
-                        reorth_passes: int = 2, gap_eps: float = 1e-12):
+                        reorth_passes: int = 2, gap_eps: float = 1e-12,
+                        method: str = "lanczos", precond=None):
     """Top-r extremal eigenpairs of a symmetric operator, differentiable.
 
     Block extension of :func:`dominant_eigh` (the reference computes one
-    pair at a time): one Lanczos run yields the r algebraically smallest
-    ("min") or largest ("max") eigenpairs, and the derivative rule
-    combines block deflation (robust under clustering) with broadened
-    in-block rotation terms.  Intended for truncated-decomposition users
-    like CTMRG that keep a whole spectral cluster.
+    pair at a time): one Krylov forward yields the r algebraically
+    smallest ("min") or largest ("max") eigenpairs, and the derivative
+    rule combines block deflation (robust under clustering) with
+    broadened in-block rotation terms.  Intended for
+    truncated-decomposition users like CTMRG that keep a whole spectral
+    cluster.
+
+    ``method`` selects the forward engine (the derivative rule is
+    identical — it only needs the converged pairs):
+
+    * ``"lanczos"`` — one k-step Lanczos sweep (default; best when a
+      single sweep of modest k converges the whole cluster);
+    * ``"lobpcg"`` — :func:`~.lobpcg.lobpcg_eigh` block iteration with up
+      to ``k`` iterations (O(N*3r) memory instead of the (N, k) basis,
+      and the only path that PRECONDITIONS the forward — pass
+      ``precond``).
+
+    ``precond`` (optional, SPD approximate inverse ``z = M^{-1} r``,
+    vector convention) is used by the LOBPCG forward and by the deflated
+    tangent solves of both methods.  Pass a stable callable — it rides in
+    the jit-static config, keyed by identity.
 
     Returns ``(lams, V)`` with ``lams`` shape (r,) and ``V`` shape (N, r)
     orthonormal.
@@ -264,15 +305,17 @@ def dominant_eigh_multi(op, r: int = 4, k: int = 128, *,
     op = as_operator(op)
     if extreme not in ("min", "max"):
         raise ValueError(f"extreme must be min|max, got {extreme!r}")
+    if method not in ("lanczos", "lobpcg"):
+        raise ValueError(f"method must be lanczos|lobpcg, got {method!r}")
     r = int(r)
-    k = int(min(k, op.dim))
+    k = int(min(k, op.dim)) if method == "lanczos" else int(k)
     if r > k:
         raise ValueError(f"need k >= r, got k={k} < r={r}")
     opts = EighMultiOptions(
         r=r, k=k, tol=float(tol),
         maxiter=None if maxiter is None else int(maxiter),
         seed=int(seed), reorth_passes=int(reorth_passes),
-        gap_eps=float(gap_eps))
+        gap_eps=float(gap_eps), method=method, precond=precond)
     return _dominant_eigh_multi(op, extreme, opts)
 
 

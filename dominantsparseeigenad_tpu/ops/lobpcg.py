@@ -1,0 +1,228 @@
+"""LOBPCG block forward engine for extremal eigenpairs.
+
+Locally Optimal Block Preconditioned Conjugate Gradient (Knyazev 2001) —
+an alternative Krylov forward to :func:`~.lanczos.lanczos_eigh` /
+:func:`~.eigh.dominant_eigh_multi`'s single Lanczos sweep.  The reference
+library has no block solver at all (its ``Lanczos.py`` computes one
+extremal pair; SURVEY.md §2.1 C1), so this is a north-star addition, and
+it is the *TPU-shaped* one:
+
+* every iteration is ONE blocked matvec of width ``r`` (``A @ [W]``) plus
+  a handful of (N, 3r) x (3r, 3r) GEMMs — all MXU work, no length-k
+  sequential scan;
+* it accepts an SPD **preconditioner** in the iteration itself (Lanczos
+  cannot), which is where ill-conditioned Hamiltonians win big;
+* memory is O(N * 3r) regardless of how many iterations convergence
+  takes — no (N, k) basis to store or re-orthogonalize.
+
+Numerical scheme (static shapes throughout, jit/`lax.while_loop` safe):
+the search subspace ``S = [X, W, P]`` (current block, preconditioned
+residuals, previous update directions) is orthonormalized by a
+symmetric-eigendecomposition whitening of the 3r x 3r Gram matrix with
+**masked dropping**: near-null Gram directions are zeroed and their
+Rayleigh-Ritz eigenvalues pushed just above the spectrum so the
+static-shape Ritz selection never picks them — the fixed-shape analogue
+of scipy/Knyazev's basis dropping.  ``A S`` is tracked through the same linear transforms,
+so orthonormalization and Rayleigh-Ritz cost no extra matvecs.
+
+Differentiability: this module is forward-only (like every Krylov engine
+here — gradients come from the implicit-function-theorem rule in
+``eigh.py``).  Use ``dominant_eigh_multi(..., method="lobpcg")`` for the
+differentiable version.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .operators import as_operator, tol_floor
+
+# The TPU's default matmul precision is bf16 passthrough (~2^-8 relative
+# error) — fatal for the Gram/whitening GEMMs, whose orthonormality the
+# Rayleigh-Ritz step relies on.  All basis-hygiene matmuls therefore pin
+# HIGHEST (full f32) precision; they are (N, 3r) x (3r, 3r) shapes, a
+# rounding error next to the operator matmat, which keeps the caller's
+# precision choice.
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+class LobpcgInfo(NamedTuple):
+    """Convergence report (float scalars — safe as custom_jvp outputs).
+
+    iterations : LOBPCG iterations executed
+    residual   : final max over the block of ``||A x - lam x|| / |lam|``
+    converged  : 1.0 if the residual test passed before ``maxiter``
+    """
+
+    iterations: jax.Array
+    residual: jax.Array
+    converged: jax.Array
+
+
+def _whiten(S, AS, drop_tol):
+    """Orthonormalize the columns of ``S`` by Gram whitening, applying the
+    same transform to ``AS``; near-dependent directions are dropped by
+    masking (columns zeroed, mask returned) instead of shrinking shapes."""
+    g = _mm(S.conj().T, S)
+    g = 0.5 * (g + g.conj().T)
+    d, u = jnp.linalg.eigh(g)
+    keep = d > drop_tol * jnp.maximum(d[-1], jnp.finfo(d.dtype).tiny)
+    scale = jnp.where(keep, lax.rsqrt(jnp.maximum(d, jnp.finfo(d.dtype).tiny)),
+                      0.0).astype(S.dtype)
+    t = u * scale[None, :]
+    return _mm(S, t), _mm(AS, t), keep
+
+
+def _rayleigh_ritz(So, ASo, keep, r):
+    """Ritz pairs of the (masked-)orthonormal basis ``So``; dropped
+    directions get an eigenvalue just above the spectrum so the ascending
+    top-r never selects them.  The penalty is DYNAMIC (~2·||T||_F), not a
+    huge constant: eigh's absolute eigenvalue error scales with the
+    matrix norm, so a 1/eps-sized penalty would cost O(||A||·eps/eps) = O(1)
+    accuracy in the wanted eigenvalues — observed as divergence in f32."""
+    t = _mm(So.conj().T, ASo)
+    t = 0.5 * (t + t.conj().T)
+    real_dtype = jnp.finfo(t.dtype).dtype
+    big = 2.0 * jnp.linalg.norm(t).astype(real_dtype) + 1.0
+    penalty = jnp.where(keep, 0.0, big).astype(real_dtype)
+    t = t + jnp.diag(penalty).astype(t.dtype)
+    evals, evecs = jnp.linalg.eigh(t)
+    return evals[:r], evecs[:, :r]
+
+
+def lobpcg_eigh(op, r: int = 4, *, extreme: str = "min",
+                maxiter: int = 200, tol: float = 1e-8, key=None,
+                precond=None, with_info: bool = False):
+    """Top-``r`` extremal eigenpairs of a symmetric/Hermitian operator by
+    preconditioned block iteration (LOBPCG).
+
+    Parameters
+    ----------
+    op      : LinearOperator (or dense symmetric array); needs ``matmat``.
+    r       : block size = number of eigenpairs returned.
+    extreme : "min" (algebraically smallest, ascending) or "max"
+              (largest, descending — matches ``dominant_eigh_multi``).
+    maxiter : static iteration cap (each = 1 width-``r`` blocked matvec).
+    tol     : relative residual target ``max_i ||A x_i - lam_i x_i|| /
+              max(|lam_i|, 1)`` — floored at 50*eps of the dtype.
+    key     : PRNG key for the random start block (default PRNGKey(0)).
+    precond : optional SPD approximate inverse applied to the residual
+              block, ``W = M^{-1} R``; called with an (N, r) array.
+    with_info : also return a :class:`LobpcgInfo`.
+
+    Returns ``(lams, X)`` — ``lams`` (r,) real, ``X`` (N, r) orthonormal
+    with the same deterministic pivot-phase gauge as the Lanczos engines —
+    or ``(lams, X, info)``.
+
+    .. note:: convergence rate is governed by the spectral gap at the
+       BLOCK BOUNDARY, ``lam_{r+1} - lam_r``.  Choose ``r`` so the block
+       covers whole degenerate multiplets (e.g. the momentum doublets of
+       a periodic spin chain): an ``r`` that splits one has a zero
+       boundary gap and converges an order of magnitude slower.  Check
+       ``with_info=True`` / ``info.converged`` when in doubt.
+    """
+    op = as_operator(op)
+    if extreme not in ("min", "max"):
+        raise ValueError(f"extreme must be min|max, got {extreme!r}")
+    r = int(r)
+    n = op.dim
+    if n < 3 * r:
+        raise ValueError(
+            f"LOBPCG needs dim >= 3*r for its [X, W, P] subspace; got "
+            f"dim={n}, r={r} — use dominant_eigh_multi(method='lanczos')")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    dtype = op.dtype
+    real_dtype = jnp.finfo(dtype).dtype
+    sign = 1.0 if extreme == "min" else -1.0
+    tol = tol_floor(tol, dtype)
+    eps = jnp.finfo(real_dtype).eps
+    # Whitening drop threshold: directions this far below the dominant
+    # Gram eigenvalue are numerically dependent at working precision.
+    drop_tol = 50.0 * eps
+
+    def amat(X):
+        return sign * op.matmat(X)
+
+    x0 = jax.random.normal(key, (n, r), real_dtype).astype(dtype)
+    zeros = jnp.zeros((n, r), dtype)
+    # A random (n, r) block is full rank at working precision, so the
+    # whitening mask is all-keep here; AS is tracked from the next matmat.
+    x0, _, _ = _whiten(x0, zeros, drop_tol)
+    ax0 = amat(x0)
+    lams0 = jnp.real(jnp.einsum("ni,ni->i", x0.conj(), ax0,
+                                 precision=jax.lax.Precision.HIGHEST)).astype(real_dtype)
+
+    def resid_norm(x, ax, lams):
+        rblk = ax - x * lams[None, :].astype(dtype)
+        nrm = jnp.linalg.norm(rblk, axis=0).astype(real_dtype)
+        return rblk, jnp.max(nrm / jnp.maximum(jnp.abs(lams), 1.0))
+
+    _, res0 = resid_norm(x0, ax0, lams0)
+
+    def cond(state):
+        _, _, _, _, _, res, it = state
+        return (it < maxiter) & (res > tol)
+
+    def colnormalize(m, am):
+        nrm = jnp.linalg.norm(m, axis=0)
+        scl = jnp.where(nrm > jnp.finfo(real_dtype).tiny,
+                        1.0 / jnp.maximum(nrm, jnp.finfo(real_dtype).tiny),
+                        0.0).astype(dtype)
+        return m * scl[None, :], am * scl[None, :]
+
+    def body(state):
+        x, ax, p, ap, lams, _, it = state
+        rblk = ax - x * lams[None, :].astype(dtype)
+        w = precond(rblk) if precond is not None else rblk
+        # Basis hygiene (Duersch–Shao–Yang 2018): project W off span(X)
+        # (twice — "twice is enough") and unit-normalize every column so
+        # the 3r x 3r Gram is well-scaled; otherwise the whitening eigh
+        # loses the shrinking residual directions against the O(1) X/P
+        # columns and the iteration stagnates around sqrt(eps).
+        for _pass in range(2):
+            w = w - _mm(x, _mm(x.conj().T, w))
+        aw = amat(w)
+        w, aw = colnormalize(w, aw)
+        s = jnp.concatenate([x, w, p], axis=1)
+        a_s = jnp.concatenate([ax, aw, ap], axis=1)
+        so, aso, keep = _whiten(s, a_s, drop_tol)
+        lams_new, y = _rayleigh_ritz(so, aso, keep, r)
+        x_new = _mm(so, y)
+        ax_new = _mm(aso, y)
+        # Next conjugate directions: the W/P contribution to the update
+        # (zero the X-block rows of Y), column-normalized for scale.
+        y_wp = y.at[:r, :].set(0)
+        p_new = _mm(so, y_wp)
+        ap_new = _mm(aso, y_wp)
+        pnrm = jnp.linalg.norm(p_new, axis=0)
+        pscale = jnp.where(pnrm > jnp.finfo(real_dtype).tiny,
+                           1.0 / jnp.maximum(pnrm, jnp.finfo(real_dtype).tiny),
+                           0.0).astype(dtype)
+        p_new = p_new * pscale[None, :]
+        ap_new = ap_new * pscale[None, :]
+        _, res = resid_norm(x_new, ax_new, lams_new)
+        return (x_new, ax_new, p_new, ap_new,
+                lams_new.astype(real_dtype), res, it + 1)
+
+    state0 = (x0, ax0, zeros, zeros, lams0, res0,
+              jnp.zeros((), jnp.int32))
+    x, ax, _, _, lams, res, it = lax.while_loop(cond, body, state0)
+
+    lams = (sign * lams).astype(real_dtype)
+    # Deterministic pivot-phase gauge (matches eigh._multi_forward).
+    pivots = jnp.take_along_axis(x, jnp.argmax(jnp.abs(x), axis=0)[None],
+                                 axis=0)[0]
+    x = x * jnp.conj(jnp.sign(pivots))[None, :]
+    if not with_info:
+        return lams, x
+    info = LobpcgInfo(
+        iterations=it.astype(real_dtype),
+        residual=res.astype(real_dtype),
+        converged=(res <= tol).astype(real_dtype))
+    return lams, x, info

@@ -1,0 +1,103 @@
+"""LOBPCG block forward engine (north-star addition — the reference has
+no block or preconditioned eigensolver; SURVEY.md §2.1 C1 is a single-pair
+Lanczos).  Validates values vs LAPACK, preconditioner effectiveness, the
+matrix-free path, and order-2 derivatives through the shared IFT rule of
+``dominant_eigh_multi(method="lobpcg")``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.test_util import check_grads
+
+from dominantsparseeigenad_tpu import (
+    DenseOperator, MatrixFreeOperator, dominant_eigh_multi, lobpcg_eigh)
+
+
+def _sym(n, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n))
+    return jnp.asarray((a + a.T) / 2)
+
+
+def test_values_match_eigh_min_and_max():
+    n, r = 150, 4
+    a = _sym(n)
+    ew, ev = np.linalg.eigh(np.asarray(a))
+    op = DenseOperator(a)
+
+    lams, x, info = lobpcg_eigh(op, r, tol=1e-9, maxiter=600, with_info=True)
+    assert float(info.converged) == 1.0
+    np.testing.assert_allclose(lams, ew[:r], rtol=1e-8)
+    # Same subspace: projector onto the true lowest-r space reproduces x.
+    proj = ev[:, :r] @ (ev[:, :r].T @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(x), proj, atol=1e-5)
+    # Orthonormal block.
+    np.testing.assert_allclose(np.asarray(x.T @ x), np.eye(r), atol=1e-9)
+
+    lams_max, _ = lobpcg_eigh(op, r, extreme="max", tol=1e-9, maxiter=600)
+    np.testing.assert_allclose(lams_max, ew[::-1][:r], rtol=1e-8)
+
+
+def test_preconditioner_cuts_iterations():
+    """Jacobi preconditioning on a diagonally dominant SPD matrix must
+    converge dramatically faster — the capability Lanczos doesn't have."""
+    n, r = 200, 3
+    rng = np.random.default_rng(1)
+    d = np.abs(rng.standard_normal(n)) * 100 + 1
+    a = np.asarray(_sym(n, seed=1)) * 0.5 + np.diag(d)
+    op = DenseOperator(jnp.asarray(a))
+    dinv = jnp.asarray(1.0 / d)
+
+    _, _, plain = lobpcg_eigh(op, r, tol=1e-8, maxiter=500, with_info=True)
+    _, _, prec = lobpcg_eigh(op, r, tol=1e-8, maxiter=500, with_info=True,
+                             precond=lambda R: dinv[:, None] * R)
+    assert float(prec.converged) == 1.0
+    assert float(prec.iterations) < 0.5 * float(plain.iterations)
+    ew = np.linalg.eigh(a)[0]
+    lams, _ = lobpcg_eigh(op, r, tol=1e-10, maxiter=500,
+                          precond=lambda R: dinv[:, None] * R)
+    np.testing.assert_allclose(lams, ew[:r], rtol=1e-9)
+
+
+def test_matrix_free_operator():
+    n, r = 96, 3
+    a = _sym(n, seed=2)
+
+    def mv(params, v):
+        return params["mat"] @ v
+
+    op = MatrixFreeOperator(mv, {"mat": a}, dim=n, dtype=a.dtype)
+    lams, _ = lobpcg_eigh(op, r, tol=1e-9, maxiter=400)
+    np.testing.assert_allclose(lams, np.linalg.eigh(np.asarray(a))[0][:r],
+                               rtol=1e-8)
+
+
+def test_dim_guard():
+    op = DenseOperator(_sym(8))
+    with pytest.raises(ValueError, match="dim >= 3"):
+        lobpcg_eigh(op, 4)
+
+
+def test_multi_method_parity_and_order2_grads():
+    """dominant_eigh_multi(method='lobpcg') must agree with the Lanczos
+    forward (same IFT rule) and stay twice-differentiable."""
+    n, r = 48, 3
+    a = _sym(n, seed=3)
+    l_lo, v_lo = dominant_eigh_multi(DenseOperator(a), r=r, k=400,
+                                     method="lobpcg", tol=1e-11)
+    l_la, v_la = dominant_eigh_multi(DenseOperator(a), r=r, k=n,
+                                     method="lanczos")
+    np.testing.assert_allclose(l_lo, l_la, rtol=1e-9)
+    np.testing.assert_allclose(np.abs(np.asarray(v_lo.T @ v_la)),
+                               np.eye(r), atol=1e-5)
+
+    def f(mat):
+        l, v = dominant_eigh_multi(DenseOperator((mat + mat.T) / 2), r=r,
+                                   k=400, method="lobpcg", tol=1e-12)
+        return jnp.sum(l * jnp.arange(1.0, r + 1.0)) + jnp.sum(v[0] ** 2)
+
+    m0 = jnp.asarray(np.random.default_rng(4).standard_normal((40, 40)))
+    check_grads(f, (m0,), order=2, modes=("fwd", "rev"), atol=1e-3,
+                rtol=1e-3)
