@@ -71,7 +71,8 @@ def _apply_pair(x: jax.Array, n: int, p: int, q: int) -> jax.Array:
     c = 1 << p
     x5 = x.reshape(a, 2, b, 2, c)
     m4 = jnp.asarray(_PAIR_EXCHANGE, dtype=x.dtype)
-    y5 = jnp.einsum("IJij,aibjc->aIbJc", m4, x5)
+    y5 = jnp.einsum("IJij,aibjc->aIbJc", m4, x5,
+                    precision=jax.lax.Precision.HIGHEST)
     return y5.reshape(-1)
 
 
@@ -87,7 +88,8 @@ def heisenberg_matvec(params, x: jax.Array) -> jax.Array:
     x3 = x.reshape(shape)
     acc = jnp.zeros_like(x3)
     for axis, mat in zip(range(len(groups) - 1, -1, -1), group_mats):
-        g = jnp.tensordot(mat.astype(x.dtype), x3, axes=[[1], [axis]])
+        g = jnp.tensordot(mat.astype(x.dtype), x3, axes=[[1], [axis]],
+                          precision=jax.lax.Precision.HIGHEST)
         acc = acc + jnp.moveaxis(g, 0, axis)
     y = y + j * acc.reshape(-1)
 

@@ -100,7 +100,13 @@ def flip_sum(x: jax.Array, n: int) -> jax.Array:
     out = jnp.zeros_like(x3)
     for axis, s in enumerate(reversed(groups)):
         adj = _cube_adjacency(s, x.dtype)
-        y = jnp.tensordot(adj, x3, axes=[[1], [axis]])
+        # HIGHEST precision: the default bf16 passthrough rounds the
+        # state to ~2^-8 inside the hot matvec, capping E0 accuracy at
+        # ~2e-5 relative on TPU f32 (adjacency entries are exact 0/1;
+        # the state side is what gets rounded).  Bandwidth-bound: the
+        # extra MXU passes cost <2% wall time on the N=20 bench.
+        y = jnp.tensordot(adj, x3, axes=[[1], [axis]],
+                          precision=jax.lax.Precision.HIGHEST)
         out = out + jnp.moveaxis(y, 0, axis)
     return out.reshape(-1)
 

@@ -29,15 +29,18 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .operators import LinearOperator, as_operator, tol_floor
+from .operators import LinearOperator, as_operator, tol_floor, hdot
 
 
 def _project_out(V: jax.Array, x: jax.Array) -> jax.Array:
     """x - V <V, x>; V is (N,) or (N, r) with orthonormal columns
     (conjugating inner products, so complex Hermitian operators work)."""
     if V.ndim == 1:
-        return x - V * jnp.vdot(V, x)
-    return x - V @ (V.conj().T @ x)
+        return x - V * hdot(V, x)
+    return x - jnp.matmul(
+        V, jnp.matmul(V.conj().T, x,
+                      precision=jax.lax.Precision.HIGHEST),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
@@ -59,30 +62,30 @@ def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
 
     r0 = b - matvec(x0)
     z0 = M(r0)
-    bnorm2 = jnp.vdot(b, b).real
+    bnorm2 = hdot(b, b).real
     tol = tol_floor(tol, b.dtype)   # dtype-reachable target
     target2 = jnp.maximum(tol * tol * bnorm2, atol * atol)
 
     def cond(state):
         _, r, _, _, _, it = state
-        return jnp.logical_and(jnp.vdot(r, r).real > target2, it < maxiter)
+        return jnp.logical_and(hdot(r, r).real > target2, it < maxiter)
 
     def body(state):
         x, r, z, p, rz, it = state
         with jax.named_scope("cg_matvec"):
             ap = matvec(p)
-        denom = jnp.vdot(p, ap).real
+        denom = hdot(p, ap).real
         alpha = rz / jnp.where(denom == 0, 1.0, denom)
         alpha = jnp.where(denom == 0, 0.0, alpha)
         x = x + alpha * p
         r = r - alpha * ap
         z = M(r)
-        rz_new = jnp.vdot(r, z).real
+        rz_new = hdot(r, z).real
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p
         return (x, r, z, p, rz_new, it + 1)
 
-    state0 = (x0, r0, z0, z0, jnp.vdot(r0, z0).real,
+    state0 = (x0, r0, z0, z0, hdot(r0, z0).real,
               jnp.zeros((), jnp.int32))
     x, *_ = lax.while_loop(cond, body, state0)
     return x
@@ -102,28 +105,28 @@ def cg_info(matvec: Callable, b: jax.Array, *,
     M = (lambda r: r) if precond is None else precond
     r0 = b - matvec(x0)
     tol = tol_floor(tol, b.dtype)   # dtype-reachable target
-    target2 = jnp.maximum((tol * tol) * jnp.vdot(b, b).real, atol * atol)
+    target2 = jnp.maximum((tol * tol) * hdot(b, b).real, atol * atol)
 
     def cond(s):
         _, r, _, _, _, it = s
-        return jnp.logical_and(jnp.vdot(r, r).real > target2, it < maxiter)
+        return jnp.logical_and(hdot(r, r).real > target2, it < maxiter)
 
     def body(s):
         x, r, z, p, rz, it = s
         ap = matvec(p)
-        denom = jnp.vdot(p, ap).real
+        denom = hdot(p, ap).real
         alpha = jnp.where(denom == 0, 0.0, rz / jnp.where(denom == 0, 1.0,
                                                           denom))
         x = x + alpha * p
         r = r - alpha * ap
         z = M(r)
-        rz_new = jnp.vdot(r, z).real
+        rz_new = hdot(r, z).real
         p = z + (rz_new / jnp.where(rz == 0, 1.0, rz)) * p
         return (x, r, z, p, rz_new, it + 1)
 
     z0 = M(r0)
     out = lax.while_loop(cond, body, (x0, r0, z0, z0,
-                                      jnp.vdot(r0, z0).real,
+                                      hdot(r0, z0).real,
                                       jnp.zeros((), jnp.int32)))
     res = jnp.linalg.norm(b - matvec(out[0])) / jnp.linalg.norm(b)
     return out[0], out[5], res
@@ -167,7 +170,7 @@ def minres(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
                           0.0) * r1
         # <v, A v> is real for symmetric/Hermitian operators; keep the
         # rotation state real so the carry dtypes stay stable.
-        alfa = jnp.real(jnp.vdot(v, y))
+        alfa = jnp.real(hdot(v, y))
         y = y - (alfa / beta) * r2
         r1, r2 = r2, y
         oldb, beta_new = beta, jnp.linalg.norm(y)
@@ -214,7 +217,7 @@ def bicgstab(matvec: Callable, b: jax.Array, *,
     x0 = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - matvec(x0)
     tol = tol_floor(tol, b.dtype)   # dtype-reachable target
-    target2 = jnp.maximum(tol * tol * jnp.vdot(b, b).real, atol * atol)
+    target2 = jnp.maximum(tol * tol * hdot(b, b).real, atol * atol)
     one = jnp.ones((), b.dtype)
     # scipy-style near-breakdown threshold: |rho| <= eps*||rhat||*||r||
     # (exact-zero tests let |rho| ~ eps^2 slip through, beta ~ 1/rho
@@ -231,12 +234,12 @@ def bicgstab(matvec: Callable, b: jax.Array, *,
     def cond(s):
         _, r, *_, stop, it = s
         return jnp.logical_and(
-            jnp.logical_and(jnp.vdot(r, r).real > target2, ~stop),
+            jnp.logical_and(hdot(r, r).real > target2, ~stop),
             it < maxiter)
 
     def body(s):
         x, r, rhat, p, v, rho, alpha, omega, stop, it = s
-        rho_new = jnp.vdot(rhat, r)
+        rho_new = hdot(rhat, r)
         broke = jnp.abs(rho_new) <= eps * rhat_norm * jnp.linalg.norm(r)
         beta = jnp.where(broke, 0.0,
                          (rho_new / jnp.where(broke, one, rho))
@@ -244,7 +247,7 @@ def bicgstab(matvec: Callable, b: jax.Array, *,
         p_new = r + beta * (p - omega * v)
         with jax.named_scope("bicgstab_matvec"):
             v_new = matvec(p_new)
-        denom = jnp.vdot(rhat, v_new)
+        denom = hdot(rhat, v_new)
         broke = jnp.logical_or(
             broke,
             jnp.abs(denom) <= eps * rhat_norm * jnp.linalg.norm(v_new))
@@ -253,15 +256,15 @@ def bicgstab(matvec: Callable, b: jax.Array, *,
         ss = r - alpha_new * v_new
         with jax.named_scope("bicgstab_matvec"):
             t = matvec(ss)
-        tt = jnp.vdot(t, t)
+        tt = hdot(t, t)
         omega_new = jnp.where(tt.real == 0, 0.0,
-                              jnp.vdot(t, ss) / jnp.where(tt == 0, one, tt))
+                              hdot(t, ss) / jnp.where(tt == 0, one, tt))
         x_new = x + alpha_new * p_new + omega_new * ss
         r_new = ss - omega_new * t
         # Non-finite step (overflow slipped past the guards): discard it
         # and stop on the last good iterate rather than letting
         # NaN > target2 = False end the loop with corrupted state.
-        bad = ~jnp.isfinite(jnp.vdot(r_new, r_new).real)
+        bad = ~jnp.isfinite(hdot(r_new, r_new).real)
         x_new = jnp.where(bad, x, x_new)
         r_new = jnp.where(bad, r, r_new)
         stop = jnp.logical_or(jnp.logical_or(broke, bad), omega_new == 0)
@@ -301,12 +304,12 @@ def gmres(matvec: Callable, b: jax.Array, *,
     dtype = b.dtype
     real_dtype = jnp.finfo(dtype).dtype
     tol = tol_floor(tol, b.dtype)   # dtype-reachable target
-    target2 = jnp.maximum(tol * tol * jnp.vdot(b, b).real, atol * atol)
+    target2 = jnp.maximum(tol * tol * hdot(b, b).real, atol * atol)
     tiny = jnp.finfo(real_dtype).tiny
 
     def cond(s):
         _, r, it = s
-        return jnp.logical_and(jnp.vdot(r, r).real > target2,
+        return jnp.logical_and(hdot(r, r).real > target2,
                                it < max_cycles)
 
     def body(s):
@@ -322,11 +325,13 @@ def gmres(matvec: Callable, b: jax.Array, *,
         (basis, h), _ = lax.scan(arnoldi, (basis0, h0), jnp.arange(m))
         rhs = jnp.zeros((m + 1,), dtype).at[0].set(beta.astype(dtype))
         y, *_ = jnp.linalg.lstsq(h, rhs)
-        x = x + basis[:m].T @ y
+        x = x + jnp.matmul(basis[:m].T, y,
+                           precision=jax.lax.Precision.HIGHEST)
         # Residual via the Arnoldi relation A V_m y = V_{m+1} (H y):
         # no extra matvec per cycle (exact to the factorization's
         # round-off, which is where the residual lives anyway).
-        r = r - basis.T @ (h @ y)
+        r = r - jnp.matmul(basis.T, h @ y,
+                           precision=jax.lax.Precision.HIGHEST)
         return x, r, it + 1
 
     x, _, _ = lax.while_loop(

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .cg import bicgstab, cg, gmres
-from .operators import LinearOperator, as_operator, tol_floor
+from .operators import LinearOperator, as_operator, tol_floor, hdot
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,10 +157,10 @@ def _power_pair(op, opts: EigOptions):
     def body(s):
         it, _, _, r, l = s
         wr = op.matvec(r)
-        lam_r = jnp.vdot(r, wr)               # Rayleigh quotient (||r||=1)
+        lam_r = hdot(r, wr)               # Rayleigh quotient (||r||=1)
         res_r = jnp.linalg.norm(wr - lam_r * r)
         wl = op.rmatvec(l)
-        lam_l = jnp.vdot(l, wl)
+        lam_l = hdot(l, wl)
         res_l = jnp.linalg.norm(wl - lam_l * l)
         scale = jnp.maximum(jnp.abs(lam_r), jnp.finfo(real_dtype).tiny)
         resid = (jnp.maximum(res_r, res_l) / scale).astype(real_dtype)
@@ -302,7 +302,7 @@ def _eig_tangents(op, dop, lam, l, r, opts):
                          opts.solver)
     if jnp.iscomplexobj(r):
         i_star = jnp.argmax(jnp.abs(r))
-        c_r = (-jnp.real(jnp.vdot(r, dr))
+        c_r = (-jnp.real(hdot(r, dr))
                - 1j * jnp.imag(dr[i_star]) / jnp.real(r[i_star]))
         dr = dr + c_r * r
 

@@ -40,8 +40,9 @@ import jax
 import jax.numpy as jnp
 
 from .cg import solve_deflated
-from .lanczos import LanczosInfo, lanczos, lanczos_adaptive, lanczos_eigh
-from .operators import LinearOperator, as_operator, tol_floor
+from .lanczos import (LanczosInfo, _mm, lanczos, lanczos_adaptive,
+                      lanczos_eigh)
+from .operators import LinearOperator, as_operator, tol_floor, hdot
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,7 +123,7 @@ def _forward_info(op, extreme: str, opts: EighOptions):
 def _pair_jvp(op, dop, lam, v, sign, opts):
     """IFT tangents (dλ, dv) of one eigenpair for operator tangent ``dop``."""
     _, dAv = jax.jvp(lambda o: o.matvec(v), (op,), (dop,))
-    dlam = jnp.vdot(v, dAv)
+    dlam = hdot(v, dAv)
     if jnp.iscomplexobj(dlam) and not jnp.iscomplexobj(lam):
         # Hermitian operator: <v, dA v> is real; the eigenvalue primal is
         # real (from the real tridiagonal), so the tangent must be too.
@@ -218,7 +219,7 @@ def _multi_forward(op, extreme: str, opts: EighMultiOptions):
     idx = (jnp.arange(opts.r) if extreme == "min"
            else k - 1 - jnp.arange(opts.r))
     lams = evals[idx]
-    v = res.basis @ evecs[:, idx]
+    v = _mm(res.basis, evecs[:, idx])
     # Deterministic per-vector phase gauge: conj(sign) makes each pivot
     # entry real positive (matches lanczos_eigh._pair; plain sign() would
     # leave complex columns phase-rotated, not gauge-fixed).
@@ -425,12 +426,12 @@ def refine_eigenpair(op, lam, v, *, iters: int = 2, tol: float = 1e-12,
     sign = 1.0 if definite_sign is None else float(definite_sign)
     for _ in range(int(iters)):
         av = op.matvec(v)
-        lam = jnp.real(jnp.vdot(v, av)).astype(lam.dtype)  # Rayleigh
+        lam = jnp.real(hdot(v, av)).astype(lam.dtype)  # Rayleigh
         r = av - lam * v
         dv = solve_deflated(op, lam, v, -r, definite_sign=sign,
                             method=method, tol=tol, maxiter=maxiter)
         v = v + dv
         v = v / jnp.linalg.norm(v)
     av = op.matvec(v)
-    lam = jnp.real(jnp.vdot(v, av)).astype(lam.dtype)
+    lam = jnp.real(hdot(v, av)).astype(lam.dtype)
     return lam, v

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .cg import minres, solve_deflated
 from .lanczos import lanczos_eigh
-from .operators import MatrixFreeOperator, as_operator
+from .operators import MatrixFreeOperator, as_operator, hdot
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,7 +55,7 @@ def _forward(op, opts: InteriorOptions):
     v = jnp.where(take_max, v_max, v_min)
     v = v / jnp.linalg.norm(v)
     # Rayleigh quotient of A itself (more accurate than sigma + 1/mu).
-    lam = jnp.real(jnp.vdot(v, op.matvec(v)))
+    lam = jnp.real(hdot(v, op.matvec(v)))
     return lam, v
 
 
@@ -70,7 +70,7 @@ def _interior_eigh_jvp(opts, primals, tangents):
     (dop,) = tangents
     lam, v = _interior_eigh(op, opts)
     _, dAv = jax.jvp(lambda o: o.matvec(v), (op,), (dop,))
-    dlam = jnp.vdot(v, dAv)
+    dlam = hdot(v, dAv)
     if jnp.iscomplexobj(dlam) and not jnp.iscomplexobj(lam):
         dlam = jnp.real(dlam)
     rhs = -(dAv - dlam * v)

@@ -38,6 +38,21 @@ import jax
 import jax.numpy as jnp
 
 
+def hdot(a, b):
+    """``jnp.vdot`` at HIGHEST precision.
+
+    The TPU's default dot/matmul precision is bf16 passthrough (~2^-8
+    relative error).  Library-internal reductions — Lanczos tridiagonal
+    coefficients, CG step sizes, Rayleigh quotients, IFT tangent
+    contractions — directly set eigenvalue/gradient digits, so they pin
+    full-f32 accumulation (measured: TFIM N=16 E0 relative error 2e-5 ->
+    1e-6 at <2% wall time; these are bandwidth-bound ops).  Operator
+    applications (matvec/matmat) are never wrapped: their precision is
+    the caller's choice.
+    """
+    return jnp.vdot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def tol_floor(tol: float, dtype) -> float:
     """Clamp a relative tolerance to what ``dtype`` can actually resolve.
 

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .operators import as_operator
+from .lanczos import _mm
+from .operators import as_operator, hdot
 
 
 class RestartState(NamedTuple):
@@ -57,7 +58,7 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
 
     # Step l (arrowhead column): w = A q - sum_i s_i y_i - alpha q.
     w = op.matvec(state.q)
-    alpha = jnp.real(jnp.vdot(state.q, w)).astype(real_dtype)
+    alpha = jnp.real(hdot(state.q, w)).astype(real_dtype)
     w = w - alpha * state.q - state.s.astype(dtype) @ state.y
     for _ in range(reorth_passes):
         w = w - basis.T @ (basis.conj() @ w)
@@ -72,7 +73,7 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
     def step(carry, j):
         basis, t, q, q_prev, beta_prev = carry
         w = op.matvec(q)
-        a = jnp.real(jnp.vdot(q, w)).astype(real_dtype)
+        a = jnp.real(hdot(q, w)).astype(real_dtype)
         w = w - a * q - beta_prev * q_prev
         for _ in range(reorth_passes):
             w = w - basis.T @ (basis.conj() @ w)
@@ -139,7 +140,7 @@ def lanczos_restarted(op, k: int = 64, *, n_restarts: int = 8,
     order = (jnp.arange(l) if extreme == "min" else k - 1 - jnp.arange(l))
     theta = evals[order]
     sel = evecs[:, order]
-    y = (res.basis @ sel.astype(dtype)).T
+    y = (_mm(res.basis, sel.astype(dtype))).T
     # The restart couplings s_i = beta_k <e_k, y_i> refer to the TRUE
     # continuation vector q_{k+1} of the Lanczos recurrence — reconstruct
     # it with one extra matvec (LanczosResult keeps only k vectors):
@@ -148,8 +149,8 @@ def lanczos_restarted(op, k: int = 64, *, n_restarts: int = 8,
     w = op.matvec(qk) - (res.alphas[-1] * qk).astype(dtype)
     if res.betas.shape[0]:
         w = w - res.betas[-1] * res.basis[:, -2]
-    w = w - res.basis @ (res.basis.conj().T @ w)
-    w = w - res.basis @ (res.basis.conj().T @ w)
+    w = w - _mm(res.basis, _mm(res.basis.conj().T, w))
+    w = w - _mm(res.basis, _mm(res.basis.conj().T, w))
     beta_last = jnp.linalg.norm(w).astype(jnp.finfo(dtype).dtype)
     q = w / jnp.where(beta_last > 0, beta_last, 1.0)
     s = beta_last * sel[k - 1, :]
