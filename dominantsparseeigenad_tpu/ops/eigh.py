@@ -228,6 +228,23 @@ def _multi_forward(op, extreme: str, opts: EighMultiOptions):
     return lams, v * jnp.conj(jnp.sign(pivots))[None, :]
 
 
+def _multi_forward_info(op, extreme: str, opts: EighMultiOptions):
+    """Forward that also reports block convergence (``LanczosInfo`` with
+    the max-over-block Ritz residual) — one extra width-r matmat."""
+    lams, v = _multi_forward(op, extreme, opts)
+    real_dtype = jnp.finfo(v.dtype).dtype
+    av = op.matmat(v)
+    resid = jnp.linalg.norm(av - v * lams[None, :].astype(v.dtype),
+                            axis=0).astype(real_dtype)
+    resid = jnp.max(resid / jnp.maximum(jnp.abs(lams).astype(real_dtype),
+                                        jnp.finfo(real_dtype).tiny))
+    ref_tol = tol_floor(opts.tol, op.dtype)
+    info = LanczosInfo(
+        effective_k=jnp.asarray(float(min(opts.k, op.dim)), real_dtype),
+        residual=resid, converged=(resid <= ref_tol).astype(real_dtype))
+    return lams, v, info
+
+
 @partial(jax.custom_jvp, nondiff_argnums=(1, 2))
 def _dominant_eigh_multi(op, extreme: str, opts: EighMultiOptions):
     return _multi_forward(op, extreme, opts)
@@ -270,11 +287,29 @@ def _dominant_eigh_multi_jvp(extreme, opts, primals, tangents):
     return (lams, v), (dlams, dv_in + dv_out)
 
 
+@partial(jax.custom_jvp, nondiff_argnums=(1, 2))
+def _dominant_eigh_multi_info(op, extreme: str, opts: EighMultiOptions):
+    return _multi_forward_info(op, extreme, opts)
+
+
+@_dominant_eigh_multi_info.defjvp
+def _dominant_eigh_multi_info_jvp(extreme, opts, primals, tangents):
+    (op,) = primals
+    (dop,) = tangents
+    lams, v, info = _dominant_eigh_multi_info(op, extreme, opts)
+    # Reuse the plain rule's tangent math on the primal pairs.
+    (_, _), (dlams, dv) = _dominant_eigh_multi_jvp(
+        extreme, opts, primals, tangents)
+    dinfo = LanczosInfo(*(jnp.zeros_like(f) for f in info))
+    return (lams, v, info), (dlams, dv, dinfo)
+
+
 def dominant_eigh_multi(op, r: int = 4, k: int = 128, *,
                         extreme: str = "min", tol: float = 1e-8,
                         maxiter: int | None = None, seed: int = 0,
                         reorth_passes: int = 2, gap_eps: float = 1e-12,
-                        method: str = "lanczos", precond=None):
+                        method: str = "lanczos", precond=None,
+                        with_info: bool = False):
     """Top-r extremal eigenpairs of a symmetric operator, differentiable.
 
     Block extension of :func:`dominant_eigh` (the reference computes one
@@ -301,7 +336,11 @@ def dominant_eigh_multi(op, r: int = 4, k: int = 128, *,
     the jit-static config, keyed by identity.
 
     Returns ``(lams, V)`` with ``lams`` shape (r,) and ``V`` shape (N, r)
-    orthonormal.
+    orthonormal; with ``with_info=True``, ``(lams, V, info)`` where
+    ``info`` is a :class:`~.lanczos.LanczosInfo` whose ``residual`` is the
+    max-over-block TRUE Ritz residual (one extra width-r matmat; zero
+    tangents, so it composes with jvp/grad) — the silent-wrong-block
+    guard for truncation users.
     """
     op = as_operator(op)
     if extreme not in ("min", "max"):
@@ -317,6 +356,8 @@ def dominant_eigh_multi(op, r: int = 4, k: int = 128, *,
         maxiter=None if maxiter is None else int(maxiter),
         seed=int(seed), reorth_passes=int(reorth_passes),
         gap_eps=float(gap_eps), method=method, precond=precond)
+    if with_info:
+        return _dominant_eigh_multi_info(op, extreme, opts)
     return _dominant_eigh_multi(op, extreme, opts)
 
 

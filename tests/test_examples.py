@@ -20,6 +20,7 @@ _CASES = [
     ("distributed_lanczos.py", ["--n", "8", "--k", "30"]),
     ("transfer_spectrum.py",
      ["--points", "2", "--chi", "8", "--steps", "10"]),
+    ("lobpcg_precond.py", ["--n", "10", "--maxiter", "200"]),
 ]
 
 

@@ -101,3 +101,34 @@ def test_multi_method_parity_and_order2_grads():
     m0 = jnp.asarray(np.random.default_rng(4).standard_normal((40, 40)))
     check_grads(f, (m0,), order=2, modes=("fwd", "rev"), atol=1e-3,
                 rtol=1e-3)
+
+
+def test_multi_with_info_flags_underconvergence():
+    """dominant_eigh_multi(with_info=True): true block residual report —
+    converged solves report converged=1, a deliberately starved LOBPCG
+    budget is FLAGGED (never silent), and the info composes with grad."""
+    n, r = 64, 2
+    a = _sym(n, seed=5)
+    op = DenseOperator(a)
+
+    lams, v, info = dominant_eigh_multi(op, r=r, k=n, tol=1e-8,
+                                        with_info=True)
+    assert float(info.converged) == 1.0
+    assert float(info.residual) < 1e-8
+
+    _, _, starved = dominant_eigh_multi(op, r=r, k=5, tol=1e-10,
+                                        method="lobpcg", with_info=True)
+    assert float(starved.converged) == 0.0
+    assert float(starved.residual) > 1e-10
+
+    def f(mat):
+        l, _, inf = dominant_eigh_multi(DenseOperator((mat + mat.T) / 2),
+                                        r=r, k=n, with_info=True)
+        return jnp.sum(l) + 0.0 * inf.residual
+
+    g = jax.grad(f)(a)
+    evals, evecs = np.linalg.eigh(np.asarray(a))
+    # d(sum lams)/dmat = sym-projection of sum_i v_i v_i^T, which is
+    # already symmetric.
+    expected = sum(np.outer(evecs[:, i], evecs[:, i]) for i in range(r))
+    np.testing.assert_allclose(g, expected, atol=1e-7)
