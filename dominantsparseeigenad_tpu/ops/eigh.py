@@ -55,6 +55,7 @@ class EighOptions:
     seed: int = 0
     reorthogonalize: bool = True
     reorth_passes: int = 2
+    reorth_chunks: int = 0
     restart_cycles: int = 0
     early_exit_tol: float | None = None
     # Optional SPD approximate inverse z = M^{-1} r applied inside the
@@ -91,7 +92,8 @@ def _forward(op, extreme: str, opts: EighOptions):
         return lam, v
     return lanczos_eigh(op, k, extreme=extreme, key=key,
                         reorthogonalize=opts.reorthogonalize,
-                        reorth_passes=opts.reorth_passes)
+                        reorth_passes=opts.reorth_passes,
+                        reorth_chunks=opts.reorth_chunks)
 
 
 def _forward_info(op, extreme: str, opts: EighOptions):
@@ -364,7 +366,8 @@ def dominant_eigh_multi(op, r: int = 4, k: int = 128, *,
 def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
                   tol: float = 1e-8, maxiter: int | None = None,
                   seed: int = 0, reorthogonalize: bool = True,
-                  reorth_passes: int = 2, restart_cycles: int = 0,
+                  reorth_passes: int = 2, reorth_chunks: int = 0,
+                  restart_cycles: int = 0,
                   early_exit_tol: float | None = None,
                   with_info: bool = False, precond=None):
     """Extremal eigenpair(s) of a symmetric operator, differentiable to all
@@ -384,6 +387,10 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
               or "both".
     tol     : relative residual tolerance of the backward's deflated CG.
     seed    : seed for Lanczos start/restart vectors (deterministic).
+    reorth_chunks : C > 1 reads only the written basis chunks during
+              reorthogonalization (exact triangular HBM traffic,
+              ~(1+1/C)/2 of the full-basis cost) — see
+              :func:`~.lanczos.lanczos`.
     early_exit_tol : when set (and extreme is "min"/"max"), the forward
               runs :func:`~.lanczos.lanczos_adaptive` — staged scan
               segments that stop once the Ritz residual estimate drops
@@ -420,6 +427,7 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
                        maxiter=None if maxiter is None else int(maxiter),
                        seed=int(seed), reorthogonalize=bool(reorthogonalize),
                        reorth_passes=int(reorth_passes),
+                       reorth_chunks=int(reorth_chunks),
                        restart_cycles=int(restart_cycles),
                        early_exit_tol=None if early_exit_tol is None
                        else float(early_exit_tol), precond=precond)

@@ -110,8 +110,35 @@ def _tridiagonal(alphas: jax.Array, betas: jax.Array) -> jax.Array:
     return t
 
 
+def _project_out_chunked(basis, w, i, block):
+    """``w - Q Q^H w`` reading only the chunks of ``basis`` written so far.
+
+    The full-basis projection reads all (k+1, N) rows every step even
+    though rows > i are zero — at large k that dead traffic IS the
+    Lanczos wall time (HBM-bound).  Reading ``block``-row slices up to
+    the chunk containing row ``i`` makes the per-run traffic triangular:
+    ~(1 + block/k)/2 of the full-basis cost.  Exact, not approximate —
+    the skipped rows are identically zero.
+
+    Requires ``block`` to divide ``basis.shape[0]`` (the caller pads the
+    buffer): non-tiling slices would either miss tail rows or, with
+    dynamic_slice's start clamping, overlap a chunk and project it twice.
+    """
+    assert basis.shape[0] % block == 0
+
+    def body(c, w):
+        blk = lax.dynamic_slice(basis, (c * block, 0),
+                                (block, basis.shape[1]))
+        return w - _mm(blk.T, _mm(blk.conj(), w))
+
+    # Chunks 0 .. i//block cover all written rows 0..i (row i+1 is not
+    # written yet at projection time); the tail of the last chunk is
+    # zero, so the masked projection is exact.
+    return lax.fori_loop(0, i // block + 1, body, w)
+
+
 def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
-                  basis, q, q_prev, beta_prev, i):
+                  basis, q, q_prev, beta_prev, i, reorth_block=0):
     """One Lanczos step at index ``i``: returns (basis', q_next, beta, alpha).
 
     Shared by the fixed-k scan (:func:`lanczos`) and the early-exit while
@@ -130,10 +157,15 @@ def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
     if reorthogonalize:
         # Unwritten rows of `basis` are zero, so a single masked
         # projection against the full (k+1, N) block is exact — two
-        # MXU matmuls instead of a python loop over vectors.
+        # MXU matmuls instead of a python loop over vectors.  With
+        # reorth_block > 0, only written chunks are read (triangular
+        # traffic — see _project_out_chunked).
         with jax.named_scope("lanczos_reorth"):
             for _ in range(reorth_passes):  # 2 = "twice is enough"
-                w = w - _mm(basis.T, _mm(basis.conj(), w))
+                if reorth_block:
+                    w = _project_out_chunked(basis, w, i, reorth_block)
+                else:
+                    w = w - _mm(basis.T, _mm(basis.conj(), w))
     beta = jnp.linalg.norm(w).astype(real_dtype)
 
     # Breakdown: restart with a fresh vector orthogonal to the basis.
@@ -158,7 +190,8 @@ def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
 def lanczos(op, k: int, *, v0: jax.Array | None = None,
             key: jax.Array | None = None,
             reorthogonalize: bool = True,
-            reorth_passes: int = 2) -> LanczosResult:
+            reorth_passes: int = 2,
+            reorth_chunks: int = 0) -> LanczosResult:
     """Run k steps of Lanczos on a symmetric operator.
 
     Parameters
@@ -175,6 +208,13 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
           enough", robust; 1 halves the dominant HBM traffic of the run at
           a small orthogonality cost — check with
           ``utils.diagnostics.orthogonality_loss`` before trusting it).
+    reorth_chunks : 0/1 = read the full (k+1, N) basis every step (the
+          simple masked projection).  C > 1 splits the basis into C
+          row-chunks and each step reads only the chunks written so far
+          — EXACT triangular traffic, ~(1+1/C)/2 of the full cost, which
+          is the dominant wall-time term at large k (the basis no longer
+          fits in VMEM, so every step streams it from HBM).  Numerically
+          identical up to f.p. reassociation of the projection sums.
     """
     op = as_operator(op)
     n, dtype = op.dim, op.dtype
@@ -200,14 +240,22 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
     # contiguous in-place dynamic-update-slice of one row (an (N, k) layout
     # would make every step's column write a strided pass over the whole
     # basis buffer).  Row k is a scratch slot for the final step's q_next
-    # and is dropped on return.
-    basis0 = jnp.zeros((k + 1, n), dtype=dtype).at[0].set(q0)
+    # and is dropped on return.  With chunked reorth the buffer is padded
+    # so the chunks tile it exactly (padding rows stay zero — the masked
+    # projection ignores them).
+    reorth_chunks = int(reorth_chunks)
+    if reorth_chunks > 1:
+        block = -((k + 1) // -reorth_chunks)  # ceil
+        rows = block * reorth_chunks
+    else:
+        block, rows = 0, k + 1
+    basis0 = jnp.zeros((rows, n), dtype=dtype).at[0].set(q0)
 
     def step(carry, i):
         basis, q, q_prev, beta_prev = carry
         basis, q_next, beta_out, alpha = _lanczos_step(
             op, key, reorthogonalize, reorth_passes, real_dtype,
-            basis, q, q_prev, beta_prev, i)
+            basis, q, q_prev, beta_prev, i, reorth_block=block)
         return (basis, q_next, q, beta_out), (alpha, beta_out)
 
     (basis, _, _, _), (alphas, betas) = lax.scan(
@@ -224,7 +272,8 @@ def lanczos_eigh(op, k: int, *, extreme: str = "both",
                  v0: jax.Array | None = None,
                  key: jax.Array | None = None,
                  reorthogonalize: bool = True,
-                 reorth_passes: int = 2):
+                 reorth_passes: int = 2,
+                 reorth_chunks: int = 0):
     """Extremal eigenpair(s) of a symmetric operator via k-step Lanczos.
 
     Functional equivalent of the reference's ``symeigLanczos(A, k, extreme,
@@ -240,7 +289,7 @@ def lanczos_eigh(op, k: int, *, extreme: str = "both",
     if extreme not in ("min", "max", "both"):
         raise ValueError(f"extreme must be min|max|both, got {extreme!r}")
     res = lanczos(op, k, v0=v0, key=key, reorthogonalize=reorthogonalize,
-                  reorth_passes=reorth_passes)
+                  reorth_passes=reorth_passes, reorth_chunks=reorth_chunks)
     t = _tridiagonal(res.alphas, res.betas)
     evals, evecs = jnp.linalg.eigh(t)
 

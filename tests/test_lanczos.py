@@ -91,3 +91,26 @@ def test_power_iteration():
     want = jnp.linalg.eigvalsh(a)[-1]
     np.testing.assert_allclose(lam, want, rtol=1e-8)
     np.testing.assert_allclose(a @ v, lam * v, atol=1e-5)
+
+
+def test_chunked_reorth_matches_full():
+    """reorth_chunks reads only written basis chunks — must be exactly the
+    masked full-basis projection up to f.p. reassociation, including at
+    k values that don't tile the chunk count (buffer padding)."""
+    import numpy as np
+    from dominantsparseeigenad_tpu import DenseOperator
+    from dominantsparseeigenad_tpu.ops.lanczos import lanczos
+
+    rng = np.random.default_rng(3)
+    for n, k, c in [(160, 60, 4), (120, 37, 5), (96, 9, 4)]:
+        a = rng.standard_normal((n, n))
+        a = jnp.asarray((a + a.T) / 2)
+        r0 = lanczos(DenseOperator(a), k)
+        r1 = lanczos(DenseOperator(a), k, reorth_chunks=c)
+        np.testing.assert_allclose(r1.alphas, r0.alphas, rtol=1e-12,
+                                   atol=1e-13)
+        np.testing.assert_allclose(r1.betas, r0.betas, rtol=1e-12,
+                                   atol=1e-13)
+        ortho = np.abs(np.asarray(r1.basis.T @ r1.basis) - np.eye(k)).max()
+        assert ortho < 1e-12
+        assert r1.basis.shape == (n, k)
