@@ -61,6 +61,9 @@ from .ops import (
     dominant_svd,
     lanczos_restarted,
     interior_eigh,
+    spectral_slice,
+    spectral_bounds,
+    SliceInfo,
     fidelity_susceptibility,
     energy_curvature,
     spectral_function,

@@ -1,0 +1,292 @@
+"""Polynomial spectrum slicing: all eigenpairs of a symmetric operator
+inside an interval [a, b], differentiable.
+
+North-star addition (the reference computes one extremal pair; its only
+interior capability is nothing — SURVEY.md §2.1).  EVSL-style recipe,
+built TPU-first from pieces this framework already has:
+
+1. **Bound** the spectrum with a short Lanczos run (+ safety margin —
+   Chebyshev polynomials explode outside the mapped [-1, 1], so the
+   margin errs outward; an over-wide window only weakens the filter).
+2. **Filter**: apply ``p(A)`` where ``p`` is the degree-``m`` Chebyshev
+   expansion of the indicator function of [a, b], Jackson-damped to kill
+   Gibbs oscillation.  The coefficients are closed-form (no quadrature)
+   and the apply is a three-term recurrence — ``m`` matvecs per
+   application, all streaming/MXU work, no decompositions.
+3. **Extract**: the slice's eigenvectors are ``p(A)``'s TOP eigenvectors
+   (filter value ~1 inside, ~0 outside), so run the existing
+   :func:`~.lobpcg.lobpcg_eigh` block iteration on the filtered operator
+   with ``extreme="max"``.
+4. **Rayleigh–Ritz on A** in the converged subspace: exact eigenvalues
+   of A (the filter only shapes the subspace, never the reported
+   values), sorted ascending, with a mask of which pairs actually fall
+   inside [a, b].
+
+Derivatives: the returned pairs satisfy ``A v = lam v`` exactly, so the
+implicit-function-theorem rule is the interior-block analogue of
+``dominant_eigh_multi``'s — identical tangent algebra, but the deflated
+solves use MINRES (``(A - lam I)`` restricted to the block complement is
+INDEFINITE for interior eigenvalues; no sign makes CG applicable).
+Composes to arbitrary order like every other rule in the package.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .cg import solve_deflated
+from .lanczos import _mm, lanczos
+from .operators import MatrixFreeOperator, as_operator, tol_floor
+
+
+class SliceInfo(NamedTuple):
+    """Report for a :func:`spectral_slice` solve (floats/arrays with zero
+    tangents — composes with jvp/grad).
+
+    n_inside  : how many of the r returned pairs lie inside [a, b]
+    residual  : max TRUE relative residual over the INSIDE pairs only —
+                the outside slots are the block's buffer (they approach
+                edge-adjacent eigenvalues and need not converge)
+    residuals : (r,) per-pair residuals ``||A v_i - lam_i v_i|| /
+                max(|lam_i|, 1)`` for individual inspection
+    converged : 1.0 if every inside pair meets ``tol``
+    """
+
+    n_inside: jax.Array
+    residual: jax.Array
+    residuals: jax.Array
+    converged: jax.Array
+
+
+def spectral_bounds(op, k: int = 30, *, key=None, margin: float = 0.1):
+    """Safe enclosure [lo, hi] of the spectrum from a short Lanczos run.
+
+    The extremal Ritz values underestimate the true extremes, so the
+    window is padded by ``margin * spread`` plus the final Lanczos
+    residual scale — for filtering, too wide is safe, too narrow is not.
+    """
+    op = as_operator(op)
+    if key is None:
+        key = jax.random.PRNGKey(1)
+    res = lanczos(op, min(int(k), op.dim), key=key, reorth_passes=1)
+    t = jnp.diag(res.alphas)
+    if res.betas.shape[0]:
+        t = t + jnp.diag(res.betas, 1) + jnp.diag(res.betas, -1)
+    evals = jnp.linalg.eigvalsh(t)
+    lo, hi = evals[0], evals[-1]
+    beta_last = (jnp.abs(res.betas[-1]) if res.betas.shape[0]
+                 else jnp.abs(res.alphas[0]) * 0)
+    pad = margin * (hi - lo) + beta_last + jnp.finfo(evals.dtype).eps
+    return lo - pad, hi + pad
+
+
+def _jackson_indicator_coeffs(a_hat, b_hat, degree: int):
+    """Jackson-damped Chebyshev coefficients of the indicator of
+    [a_hat, b_hat] ⊂ [-1, 1].  Closed form (EVSL/kernel-polynomial
+    method): c_0 = (θa − θb)/π, c_j = 2(sin j·θa − sin j·θb)/(π j),
+    with θ = arccos and θa ≥ θb.
+    """
+    a_hat = jnp.clip(a_hat, -1.0, 1.0)
+    b_hat = jnp.clip(b_hat, -1.0, 1.0)
+    theta_a = jnp.arccos(a_hat)   # larger angle (a_hat <= b_hat)
+    theta_b = jnp.arccos(b_hat)
+    j = jnp.arange(1, degree + 1, dtype=theta_a.dtype)
+    c0 = (theta_a - theta_b) / jnp.pi
+    cj = 2.0 * (jnp.sin(j * theta_a) - jnp.sin(j * theta_b)) / (jnp.pi * j)
+    # Jackson damping factors g_j (smooth the Gibbs overshoot).
+    m = degree + 1
+    arg = jnp.pi / m
+    jfull = jnp.arange(0, degree + 1, dtype=theta_a.dtype)
+    g = ((m - jfull) * jnp.cos(jfull * arg)
+         + jnp.sin(jfull * arg) / jnp.tan(arg)) / m
+    return jnp.concatenate([c0[None], cj]) * g
+
+
+def _filtered_matvec(params, x):
+    """y = p(A) x by the Chebyshev three-term recurrence (coeffs static
+    length; A mapped affinely onto [-1, 1])."""
+    op, lo, hi, coeffs = (params["op"], params["lo"], params["hi"],
+                          params["coeffs"])
+    center = (hi + lo) / 2.0
+    halfwidth = (hi - lo) / 2.0
+
+    def amap(v):  # Ã = (A - c I)/h
+        return (op.matvec(v) - center * v) / halfwidth
+
+    t_prev = x                       # T_0(Ã) x
+    t_cur = amap(x)                  # T_1(Ã) x
+    acc = coeffs[0] * t_prev + coeffs[1] * t_cur
+
+    def body(jj, carry):
+        t_prev, t_cur, acc = carry
+        t_next = 2.0 * amap(t_cur) - t_prev
+        acc = acc + coeffs[jj] * t_next
+        return (t_cur, t_next, acc)
+
+    degree = coeffs.shape[0] - 1
+    _, _, acc = lax.fori_loop(2, degree + 1, body, (t_prev, t_cur, acc))
+    return acc
+
+
+@dataclasses.dataclass(frozen=True)
+class SliceOptions:
+    """Static configuration for :func:`spectral_slice`."""
+
+    r: int = 8
+    degree: int = 80
+    maxiter: int = 150
+    tol: float = 1e-8
+    solve_tol: float = 1e-8
+    solve_maxiter: int | None = None
+    seed: int = 0
+    bounds_k: int = 30
+    gap_eps: float = 1e-12
+
+
+def _slice_forward(op, a: float, b: float, opts: SliceOptions):
+    from .lobpcg import lobpcg_eigh
+
+    dtype = op.dtype
+    real_dtype = jnp.finfo(dtype).dtype
+    lo, hi = spectral_bounds(op, opts.bounds_k,
+                             key=jax.random.PRNGKey(opts.seed + 1))
+    a_arr = jnp.asarray(a, real_dtype)
+    b_arr = jnp.asarray(b, real_dtype)
+    center = (hi + lo) / 2.0
+    halfwidth = (hi - lo) / 2.0
+    coeffs = _jackson_indicator_coeffs(
+        (a_arr - center) / halfwidth, (b_arr - center) / halfwidth,
+        opts.degree).astype(real_dtype)
+    fop = MatrixFreeOperator(
+        _filtered_matvec,
+        {"op": op, "lo": lo, "hi": hi, "coeffs": coeffs.astype(dtype)},
+        dim=op.dim, dtype=dtype, symmetric=True)
+
+    # Top-r eigenvectors of p(A) span the slice (filter ~1 inside, ~0
+    # outside).  The filtered residual target reuses the user's tol (floored by
+    # lobpcg internally): the filter plateau is quasi-degenerate, so the
+    # practical iteration control is ``maxiter`` — the block keeps
+    # tightening until the budget runs out or the p-residuals converge,
+    # and the TRUE A-residuals reported below are what to trust.
+    _, v = lobpcg_eigh(fop, opts.r, extreme="max", maxiter=opts.maxiter,
+                       tol=opts.tol, key=jax.random.PRNGKey(opts.seed))
+
+    # Rayleigh-Ritz on A in span(v): exact eigenvalues, ascending.
+    av = op.matmat(v)
+    bmat = _mm(v.conj().T, av)
+    bmat = 0.5 * (bmat + bmat.conj().T)
+    theta, y = jnp.linalg.eigh(bmat)
+    v = _mm(v, y)
+    av = _mm(av, y)
+    lams = theta.astype(real_dtype)
+    # Pivot-phase gauge (deterministic across runs/backends).
+    pivots = jnp.take_along_axis(v, jnp.argmax(jnp.abs(v), axis=0)[None],
+                                 axis=0)[0]
+    phase = jnp.conj(jnp.sign(pivots))
+    v = v * phase[None, :]
+    av = av * phase[None, :]
+
+    resids = jnp.linalg.norm(av - v * lams[None, :].astype(dtype),
+                             axis=0).astype(real_dtype)
+    resids = resids / jnp.maximum(jnp.abs(lams), 1.0)
+    inside = (lams >= a_arr) & (lams <= b_arr)
+    n_inside = jnp.sum(inside).astype(real_dtype)
+    resid_in = jnp.max(jnp.where(inside, resids, 0.0))
+    ref_tol = tol_floor(opts.tol, dtype)
+    info = SliceInfo(n_inside=n_inside, residual=resid_in, residuals=resids,
+                     converged=(resid_in <= ref_tol).astype(real_dtype))
+    return lams, v, info
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
+def _spectral_slice(op, a: float, b: float, opts: SliceOptions):
+    return _slice_forward(op, a, b, opts)
+
+
+@_spectral_slice.defjvp
+def _spectral_slice_jvp(a, b, opts, primals, tangents):
+    (op,) = primals
+    (dop,) = tangents
+    lams, v, info = _spectral_slice(op, a, b, opts)
+
+    _, dav = jax.jvp(lambda o: o.matmat(v), (op,), (dop,))
+    m = v.conj().T @ dav
+    dlams = jnp.diagonal(m)
+    if jnp.iscomplexobj(dlams) and not jnp.iscomplexobj(lams):
+        dlams = jnp.real(dlams)
+
+    # In-block rotations: Lorentzian-broadened gap inverses (finite on
+    # multiplets), exactly as dominant_eigh_multi.
+    gap = lams[None, :] - lams[:, None]
+    f = gap / (gap * gap + opts.gap_eps ** 2)
+    f = f * (1.0 - jnp.eye(opts.r, dtype=lams.dtype))
+    dv_in = v @ (f * m)
+
+    # Out-of-block: deflated MINRES — (A - lam_i I) is INDEFINITE on the
+    # block complement for interior eigenvalues, so no CG sign exists.
+    rhs = -(dav - v @ m)
+
+    def one(lam_i, b_i):
+        return solve_deflated(op, lam_i, v, b_i, method="minres",
+                              tol=opts.solve_tol,
+                              maxiter=opts.solve_maxiter)
+
+    dv_out = jax.vmap(one, in_axes=(0, 1), out_axes=1)(lams, rhs)
+    dinfo = SliceInfo(*(jnp.zeros_like(x) for x in info))
+    return (lams, v, info), (dlams, dv_in + dv_out, dinfo)
+
+
+def spectral_slice(op, a: float, b: float, r: int = 8, *,
+                   degree: int = 80, maxiter: int = 150,
+                   tol: float = 1e-8, solve_tol: float | None = None,
+                   solve_maxiter: int | None = None, seed: int = 0,
+                   bounds_k: int = 30, gap_eps: float = 1e-12):
+    """The ``r`` eigenpairs of a symmetric operator nearest/inside the
+    interval ``[a, b]``, differentiable to arbitrary order.
+
+    Parameters
+    ----------
+    op      : LinearOperator (or dense symmetric array).
+    a, b    : slice interval (STATIC floats — they shape the filter).
+    r       : block size; choose r >= the expected eigenvalue count in
+              [a, b] (check ``info.n_inside`` — if it equals r, the
+              slice may hold more pairs than the block; enlarge r).
+    degree  : Chebyshev filter degree (matvecs per filtered apply).
+              Higher = sharper filter = fewer LOBPCG iterations; total
+              matvecs ~ degree * iterations.
+    maxiter : LOBPCG iteration cap on the filtered operator.
+    tol     : convergence target for the TRUE A-residual (reported in
+              ``info``; floored at 50*eps).
+    solve_tol / solve_maxiter : deflated-MINRES controls for the
+              derivative solves (default: ``tol``).
+    bounds_k: Lanczos steps for the spectral enclosure.
+
+    Returns ``(lams, V, info)`` — ``lams`` (r,) ascending, ``V`` (N, r)
+    orthonormal, :class:`SliceInfo` with the inside-count and the true
+    max block residual.
+
+    .. note:: like every slicing method, this wants slice edges in gaps
+       of the spectrum: an edge through a degenerate multiplet makes the
+       subspace ill-defined (the filter cannot separate equal
+       eigenvalues).  ``r`` should cover whole multiplets.
+    """
+    op = as_operator(op)
+    a, b = float(a), float(b)
+    if not a < b:
+        raise ValueError(f"need a < b, got [{a}, {b}]")
+    r = int(r)
+    if op.dim < 3 * r:
+        raise ValueError(f"spectral_slice needs dim >= 3*r (LOBPCG "
+                         f"subspace); got dim={op.dim}, r={r}")
+    opts = SliceOptions(
+        r=r, degree=int(degree), maxiter=int(maxiter), tol=float(tol),
+        solve_tol=float(tol if solve_tol is None else solve_tol),
+        solve_maxiter=None if solve_maxiter is None else int(solve_maxiter),
+        seed=int(seed), bounds_k=int(bounds_k), gap_eps=float(gap_eps))
+    return _spectral_slice(op, a, b, opts)
