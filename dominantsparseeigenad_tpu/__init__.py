@@ -63,6 +63,7 @@ from .ops import (
     interior_eigh,
     spectral_slice,
     spectral_bounds,
+    spectral_density,
     SliceInfo,
     fidelity_susceptibility,
     energy_curvature,

@@ -27,8 +27,8 @@ from .decomp import (eigh_safe, eigh_safe_truncated, svd_safe,
 from .svd import dominant_svd
 from .restart import lanczos_restarted, RestartState
 from .interior import interior_eigh
-from .slicing import (spectral_slice, spectral_bounds, SliceInfo,
-                      SliceOptions)
+from .slicing import (spectral_slice, spectral_bounds, spectral_density,
+                      SliceInfo, SliceOptions)
 from .observables import fidelity_susceptibility, energy_curvature
 from .spectral import spectral_function
 
@@ -52,6 +52,7 @@ __all__ = [
     "eigh_safe", "eigh_safe_truncated", "svd_safe",
     "svd_safe_truncated", "dominant_svd",
     "lanczos_restarted", "RestartState", "interior_eigh",
-    "spectral_slice", "spectral_bounds", "SliceInfo", "SliceOptions",
+    "spectral_slice", "spectral_bounds", "spectral_density",
+    "SliceInfo", "SliceOptions",
     "fidelity_susceptibility", "energy_curvature", "spectral_function",
 ]

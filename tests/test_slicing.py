@@ -108,3 +108,67 @@ def test_slice_tfim_excited_band():
 
     fd = (oracle(g + eps) - oracle(g - eps)) / (2 * eps)
     np.testing.assert_allclose(float(d), fd, rtol=1e-6)
+
+
+def test_spectral_density_matches_exact_moments():
+    """KPM DOS: the stochastic estimate must match the SAME kernel
+    applied to exact Chebyshev moments (only trace noise ~1/sqrt(N*s)
+    differs), and integrate to ~1."""
+    from dominantsparseeigenad_tpu import spectral_density
+
+    rng = np.random.default_rng(1)
+    n = 400
+    a = rng.standard_normal((n, n)) / np.sqrt(n)
+    a = (a + a.T) / np.sqrt(2)
+    op = DenseOperator(jnp.asarray(a))
+    lo, hi = spectral_bounds(op, k=40)
+    lo, hi = float(lo), float(hi)
+    es = np.linspace(lo * 0.9, hi * 0.9, 41)
+    degree, s = 100, 64
+    rho = np.asarray(spectral_density(op, jnp.asarray(es), degree=degree,
+                                      n_probe=s, bounds=(lo, hi)))
+
+    # Exact-moment oracle through the identical Jackson kernel.
+    ew = np.linalg.eigh(a)[0]
+    e_hat = (ew - (hi + lo) / 2) / ((hi - lo) / 2)
+    theta_i = np.arccos(np.clip(e_hat, -1, 1))
+    j = np.arange(degree + 1)
+    mus = np.cos(np.outer(j, theta_i)).mean(axis=1)
+    m = degree + 1
+    arg = np.pi / m
+    g = ((m - j) * np.cos(j * arg) + np.sin(j * arg) / np.tan(arg)) / m
+    x_hat = (es - (hi + lo) / 2) / ((hi - lo) / 2)
+    tj = np.cos(np.outer(j, np.arccos(np.clip(x_hat, -1, 1))))
+    w = np.where(j == 0, 1.0, 2.0) * g * mus
+    rho_exact = (w @ tj) / (np.pi * np.sqrt(1 - x_hat**2)) / ((hi - lo) / 2)
+
+    # Hutchinson noise ~ 1/sqrt(N*s): measured max dev 0.014 at s=64
+    # (deterministic key), peak density 0.32 — assert with 2x margin.
+    np.testing.assert_allclose(rho, rho_exact, atol=0.03)
+    # Normalization: integrates to ~1 over the full support.
+    es_full = np.linspace(lo + 1e-3, hi - 1e-3, 400)
+    rho_full = np.asarray(spectral_density(op, jnp.asarray(es_full),
+                                           degree=degree, n_probe=s,
+                                           bounds=(lo, hi)))
+    total = np.trapezoid(rho_full, es_full)
+    assert abs(total - 1.0) < 0.05
+
+
+def test_spectral_density_differentiable():
+    """The DOS estimator is plain AD (no custom rule): d/dg of a DOS
+    functional of the TFIM matches finite differences."""
+    from dominantsparseeigenad_tpu import spectral_density
+
+    n, g = 8, 1.1
+    es = jnp.linspace(-12.0, 12.0, 9)
+
+    def weight_at_zero(gv):
+        rho = spectral_density(tfim_operator(n, gv), es, degree=40,
+                               n_probe=8, bounds=(-16.0, 16.0))
+        return rho[4]  # density near E = 0
+
+    d = float(jax.grad(weight_at_zero)(jnp.float64(g)))
+    eps = 1e-5
+    fd = (float(weight_at_zero(jnp.float64(g + eps)))
+          - float(weight_at_zero(jnp.float64(g - eps)))) / (2 * eps)
+    np.testing.assert_allclose(d, fd, rtol=1e-6, atol=1e-9)
