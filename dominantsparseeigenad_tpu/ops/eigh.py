@@ -232,19 +232,77 @@ def _multi_forward(op, extreme: str, opts: EighMultiOptions):
 
 def _multi_forward_info(op, extreme: str, opts: EighMultiOptions):
     """Forward that also reports block convergence (``LanczosInfo`` with
-    the max-over-block Ritz residual) — one extra width-r matmat."""
+    the max-over-block TRUE Ritz residual, normalized by
+    ``max(|lam|, 1)`` — the SAME convention as the LOBPCG stopping test,
+    so the report cannot contradict the solver's own convergence
+    decision for near-zero eigenvalues)."""
+    real_dtype = jnp.finfo(op.dtype).dtype
+    ref_tol = tol_floor(opts.tol, op.dtype)
+    if opts.method == "lobpcg":
+        # LOBPCG already tracks its true block residual and iteration
+        # count — reuse them (effective_k = iterations actually run, not
+        # the budget; recomputing the residual would just duplicate it).
+        from .lobpcg import lobpcg_eigh
+        precond = opts.precond
+        if precond is not None:
+            precond = partial(_columnwise, opts.precond)
+        lams, v, linfo = lobpcg_eigh(op, opts.r, extreme=extreme,
+                                     maxiter=opts.k, tol=opts.tol,
+                                     key=jax.random.PRNGKey(opts.seed),
+                                     precond=precond, with_info=True)
+        info = LanczosInfo(effective_k=linfo.iterations,
+                           residual=linfo.residual,
+                           converged=linfo.converged)
+        return lams, v, info
     lams, v = _multi_forward(op, extreme, opts)
-    real_dtype = jnp.finfo(v.dtype).dtype
     av = op.matmat(v)
     resid = jnp.linalg.norm(av - v * lams[None, :].astype(v.dtype),
                             axis=0).astype(real_dtype)
     resid = jnp.max(resid / jnp.maximum(jnp.abs(lams).astype(real_dtype),
-                                        jnp.finfo(real_dtype).tiny))
-    ref_tol = tol_floor(opts.tol, op.dtype)
+                                        1.0))
     info = LanczosInfo(
         effective_k=jnp.asarray(float(min(opts.k, op.dim)), real_dtype),
         residual=resid, converged=(resid <= ref_tol).astype(real_dtype))
     return lams, v, info
+
+
+def _multi_pair_tangents(op, dop, lams, v, extreme, opts):
+    """Block IFT tangents (dlams, dv) for converged pairs (lams, v).
+
+    Shared by the plain and the info-carrying rule (the latter must NOT
+    recompute the forward).  All tangent contractions run at HIGHEST
+    precision (``_mm``/``hdot`` policy) — gradients deserve the same
+    digits the precision-pinned forward earns.
+    """
+    _, dav = jax.jvp(lambda o: o.matmat(v), (op,), (dop,))
+    m = _mm(v.conj().T, dav)                   # (r, r): <V, dA V>
+    dlams = jnp.diagonal(m)
+    if jnp.iscomplexobj(dlams) and not jnp.iscomplexobj(lams):
+        dlams = jnp.real(dlams)
+
+    # In-block eigenvector rotations: same Lorentzian-broadened gap
+    # inverses as ops.decomp.eigh_safe — finite on multiplets, exact for
+    # separated pairs.
+    gap = lams[None, :] - lams[:, None]        # gap[j, i] = lam_i - lam_j
+    f = gap / (gap * gap + opts.gap_eps ** 2)
+    f = f * (1.0 - jnp.eye(opts.r, dtype=lams.dtype))
+    dv_in = _mm(v, f * m)
+
+    # Out-of-block component: for each pair i, solve the block-deflated
+    # system (A - lam_i) x_i = -(I - V V^T) dA v_i on span(V)^perp —
+    # well-conditioned because the whole near-degenerate cluster is
+    # deflated (the reference deflates rank 1 only; SURVEY.md §7 hard
+    # part 2).
+    sign = +1.0 if extreme == "min" else -1.0
+    rhs = -(dav - _mm(v, m))
+
+    def one(lam_i, b_i):
+        return solve_deflated(op, lam_i, v, b_i, definite_sign=sign,
+                              tol=opts.tol, maxiter=opts.maxiter,
+                              precond=opts.precond)
+
+    dv_out = jax.vmap(one, in_axes=(0, 1), out_axes=1)(lams, rhs)
+    return dlams, dv_in + dv_out
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(1, 2))
@@ -257,36 +315,8 @@ def _dominant_eigh_multi_jvp(extreme, opts, primals, tangents):
     (op,) = primals
     (dop,) = tangents
     lams, v = _dominant_eigh_multi(op, extreme, opts)
-
-    _, dav = jax.jvp(lambda o: o.matmat(v), (op,), (dop,))
-    m = v.conj().T @ dav                       # (r, r): <V, dA V>
-    dlams = jnp.diagonal(m)
-    if jnp.iscomplexobj(dlams) and not jnp.iscomplexobj(lams):
-        dlams = jnp.real(dlams)
-
-    # In-block eigenvector rotations: same Lorentzian-broadened gap
-    # inverses as ops.decomp.eigh_safe — finite on multiplets, exact for
-    # separated pairs.
-    gap = lams[None, :] - lams[:, None]        # gap[j, i] = lam_i - lam_j
-    f = gap / (gap * gap + opts.gap_eps ** 2)
-    f = f * (1.0 - jnp.eye(opts.r, dtype=lams.dtype))
-    dv_in = v @ (f * m)
-
-    # Out-of-block component: for each pair i, solve the block-deflated
-    # system (A - lam_i) x_i = -(I - V V^T) dA v_i on span(V)^perp —
-    # well-conditioned because the whole near-degenerate cluster is
-    # deflated (the reference deflates rank 1 only; SURVEY.md §7 hard
-    # part 2).
-    sign = +1.0 if extreme == "min" else -1.0
-    rhs = -(dav - v @ m)
-
-    def one(lam_i, b_i):
-        return solve_deflated(op, lam_i, v, b_i, definite_sign=sign,
-                              tol=opts.tol, maxiter=opts.maxiter,
-                              precond=opts.precond)
-
-    dv_out = jax.vmap(one, in_axes=(0, 1), out_axes=1)(lams, rhs)
-    return (lams, v), (dlams, dv_in + dv_out)
+    dlams, dv = _multi_pair_tangents(op, dop, lams, v, extreme, opts)
+    return (lams, v), (dlams, dv)
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(1, 2))
@@ -299,9 +329,7 @@ def _dominant_eigh_multi_info_jvp(extreme, opts, primals, tangents):
     (op,) = primals
     (dop,) = tangents
     lams, v, info = _dominant_eigh_multi_info(op, extreme, opts)
-    # Reuse the plain rule's tangent math on the primal pairs.
-    (_, _), (dlams, dv) = _dominant_eigh_multi_jvp(
-        extreme, opts, primals, tangents)
+    dlams, dv = _multi_pair_tangents(op, dop, lams, v, extreme, opts)
     dinfo = LanczosInfo(*(jnp.zeros_like(f) for f in info))
     return (lams, v, info), (dlams, dv, dinfo)
 
@@ -340,9 +368,13 @@ def dominant_eigh_multi(op, r: int = 4, k: int = 128, *,
     Returns ``(lams, V)`` with ``lams`` shape (r,) and ``V`` shape (N, r)
     orthonormal; with ``with_info=True``, ``(lams, V, info)`` where
     ``info`` is a :class:`~.lanczos.LanczosInfo` whose ``residual`` is the
-    max-over-block TRUE Ritz residual (one extra width-r matmat; zero
-    tangents, so it composes with jvp/grad) — the silent-wrong-block
-    guard for truncation users.
+    max-over-block TRUE Ritz residual ``||A v - lam v|| / max(|lam|, 1)``
+    (the LOBPCG stopping convention, so report and solver agree even for
+    near-zero eigenvalues; zero tangents, so it composes with jvp/grad)
+    — the silent-wrong-block guard for truncation users.  For
+    ``method="lobpcg"``, ``effective_k`` is the iteration count actually
+    run; for ``"lanczos"`` it is the sweep length and the residual costs
+    one extra width-r matmat.
     """
     op = as_operator(op)
     if extreme not in ("min", "max"):
@@ -420,6 +452,11 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
         raise ValueError("early_exit_tol is not supported with "
                          "restart_cycles (the restart loop has its own "
                          "convergence control)")
+    if int(reorth_chunks) > 1 and (restart_cycles
+                                   or early_exit_tol is not None):
+        raise ValueError("reorth_chunks is only implemented for the "
+                         "plain fixed-k forward; it would be silently "
+                         "ignored with restart_cycles/early_exit_tol")
     if (with_info or early_exit_tol is not None) and extreme == "both":
         raise ValueError("with_info/early_exit_tol require extreme='min' "
                          "or 'max'")

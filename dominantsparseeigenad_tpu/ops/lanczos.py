@@ -27,20 +27,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .operators import LinearOperator, as_operator, tol_floor, hdot
+from .operators import (LinearOperator, as_operator, hdot,
+                        hmatmul as _mm, tol_floor)
 
 _BREAKDOWN_REL_TOL = 1e-8
-
-
-def _mm(a, b):
-    """Matmul at HIGHEST precision: the TPU default is bf16 passthrough
-    (~2^-8 relative error), which costs real eigenvalue digits when it
-    lands on the (re)orthogonalization / Ritz-projection GEMMs (measured
-    on TFIM N=16 f32: E0 relative error 2e-5 default vs 1e-6 highest, at
-    <2% extra wall time -- these ops are HBM-bandwidth bound, so the
-    extra MXU passes are free).  Operator matvecs are NOT wrapped: their
-    precision stays the caller's choice."""
-    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 class LanczosResult(NamedTuple):

@@ -39,23 +39,16 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .operators import as_operator, tol_floor
-
-# The TPU's default matmul precision is bf16 passthrough (~2^-8 relative
-# error) — fatal for the Gram/whitening GEMMs, whose orthonormality the
-# Rayleigh-Ritz step relies on.  All basis-hygiene matmuls therefore pin
-# HIGHEST (full f32) precision; they are (N, 3r) x (3r, 3r) shapes, a
-# rounding error next to the operator matmat, which keeps the caller's
-# precision choice.
-def _mm(a, b):
-    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
-
+# All basis-hygiene GEMMs run at HIGHEST precision (shared policy in
+# operators.hmatmul): the TPU bf16 default breaks Gram orthonormality.
+from .operators import as_operator, hmatmul as _mm, tol_floor
 
 class LobpcgInfo(NamedTuple):
     """Convergence report (float scalars — safe as custom_jvp outputs).
 
     iterations : LOBPCG iterations executed
-    residual   : final max over the block of ``||A x - lam x|| / |lam|``
+    residual   : final max over the block of
+                 ``||A x - lam x|| / max(|lam|, 1)``
     converged  : 1.0 if the residual test passed before ``maxiter``
     """
 

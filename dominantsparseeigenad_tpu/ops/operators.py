@@ -38,6 +38,13 @@ import jax
 import jax.numpy as jnp
 
 
+def hmatmul(a, b):
+    """``jnp.matmul`` at HIGHEST precision — one shared definition of the
+    precision policy (see :func:`hdot`); imported as ``_mm`` by the
+    solver modules for their orthogonalization/Ritz-projection GEMMs."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def hdot(a, b):
     """``jnp.vdot`` at HIGHEST precision.
 

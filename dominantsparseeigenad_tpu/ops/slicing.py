@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from .cg import solve_deflated
-from .lanczos import _mm, lanczos
+from .lanczos import lanczos
+from .operators import hmatmul as _mm
 from .operators import MatrixFreeOperator, as_operator, tol_floor
 
 
@@ -55,7 +56,9 @@ class SliceInfo(NamedTuple):
                 edge-adjacent eigenvalues and need not converge)
     residuals : (r,) per-pair residuals ``||A v_i - lam_i v_i|| /
                 max(|lam_i|, 1)`` for individual inspection
-    converged : 1.0 if every inside pair meets ``tol``
+    converged : 1.0 if there IS at least one inside pair and every
+                inside pair meets ``tol`` (an empty slice is a
+                failure, not a vacuous success)
     """
 
     n_inside: jax.Array
@@ -86,6 +89,17 @@ def spectral_bounds(op, k: int = 30, *, key=None, margin: float = 0.1):
     return lo - pad, hi + pad
 
 
+def _jackson_damping(degree: int, dtype):
+    """Jackson damping factors g_0..g_degree (smooth the Gibbs overshoot
+    of a truncated Chebyshev expansion) — shared by the slice filter and
+    the KPM density estimator so the two kernels cannot drift apart."""
+    m = degree + 1
+    arg = jnp.pi / m
+    j = jnp.arange(0, degree + 1, dtype=dtype)
+    return ((m - j) * jnp.cos(j * arg)
+            + jnp.sin(j * arg) / jnp.tan(arg)) / m
+
+
 def _jackson_indicator_coeffs(a_hat, b_hat, degree: int):
     """Jackson-damped Chebyshev coefficients of the indicator of
     [a_hat, b_hat] ⊂ [-1, 1].  Closed form (EVSL/kernel-polynomial
@@ -99,12 +113,7 @@ def _jackson_indicator_coeffs(a_hat, b_hat, degree: int):
     j = jnp.arange(1, degree + 1, dtype=theta_a.dtype)
     c0 = (theta_a - theta_b) / jnp.pi
     cj = 2.0 * (jnp.sin(j * theta_a) - jnp.sin(j * theta_b)) / (jnp.pi * j)
-    # Jackson damping factors g_j (smooth the Gibbs overshoot).
-    m = degree + 1
-    arg = jnp.pi / m
-    jfull = jnp.arange(0, degree + 1, dtype=theta_a.dtype)
-    g = ((m - jfull) * jnp.cos(jfull * arg)
-         + jnp.sin(jfull * arg) / jnp.tan(arg)) / m
+    g = _jackson_damping(degree, theta_a.dtype)
     return jnp.concatenate([c0[None], cj]) * g
 
 
@@ -199,8 +208,12 @@ def _slice_forward(op, a: float, b: float, opts: SliceOptions):
     n_inside = jnp.sum(inside).astype(real_dtype)
     resid_in = jnp.max(jnp.where(inside, resids, 0.0))
     ref_tol = tol_floor(opts.tol, dtype)
+    # An empty slice must NOT report success: converged requires at
+    # least one inside pair (a mis-placed window / failed filter would
+    # otherwise be vacuously "converged" at residual 0).
+    ok = (n_inside > 0) & (resid_in <= ref_tol)
     info = SliceInfo(n_inside=n_inside, residual=resid_in, residuals=resids,
-                     converged=(resid_in <= ref_tol).astype(real_dtype))
+                     converged=ok.astype(real_dtype))
     return lams, v, info
 
 
@@ -216,7 +229,7 @@ def _spectral_slice_jvp(a, b, opts, primals, tangents):
     lams, v, info = _spectral_slice(op, a, b, opts)
 
     _, dav = jax.jvp(lambda o: o.matmat(v), (op,), (dop,))
-    m = v.conj().T @ dav
+    m = _mm(v.conj().T, dav)  # HIGHEST precision, like the forward's RR
     dlams = jnp.diagonal(m)
     if jnp.iscomplexobj(dlams) and not jnp.iscomplexobj(lams):
         dlams = jnp.real(dlams)
@@ -226,11 +239,11 @@ def _spectral_slice_jvp(a, b, opts, primals, tangents):
     gap = lams[None, :] - lams[:, None]
     f = gap / (gap * gap + opts.gap_eps ** 2)
     f = f * (1.0 - jnp.eye(opts.r, dtype=lams.dtype))
-    dv_in = v @ (f * m)
+    dv_in = _mm(v, f * m)
 
     # Out-of-block: deflated MINRES — (A - lam_i I) is INDEFINITE on the
     # block complement for interior eigenvalues, so no CG sign exists.
-    rhs = -(dav - v @ m)
+    rhs = -(dav - _mm(v, m))
 
     def one(lam_i, b_i):
         return solve_deflated(op, lam_i, v, b_i, method="minres",
@@ -284,6 +297,10 @@ def spectral_slice(op, a: float, b: float, r: int = 8, *,
     if op.dim < 3 * r:
         raise ValueError(f"spectral_slice needs dim >= 3*r (LOBPCG "
                          f"subspace); got dim={op.dim}, r={r}")
+    if int(degree) < 2:
+        raise ValueError(f"filter degree must be >= 2, got {degree} "
+                         f"(the recurrence reads T_0, T_1 and at least "
+                         f"one higher moment)")
     opts = SliceOptions(
         r=r, degree=int(degree), maxiter=int(maxiter), tol=float(tol),
         solve_tol=float(tol if solve_tol is None else solve_tol),
@@ -361,10 +378,8 @@ def spectral_density(op, energies, *, degree: int = 120,
                            mus_tail]).astype(real_dtype)
 
     # Jackson damping + Chebyshev kernel at the mapped energies.
-    m = int(degree) + 1
-    arg = jnp.pi / m
-    j = jnp.arange(m, dtype=real_dtype)
-    g = ((m - j) * jnp.cos(j * arg) + jnp.sin(j * arg) / jnp.tan(arg)) / m
+    j = jnp.arange(int(degree) + 1, dtype=real_dtype)
+    g = _jackson_damping(int(degree), real_dtype)
     e_hat = jnp.clip((jnp.asarray(energies, real_dtype) - center)
                      / halfwidth, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(e_hat)                       # (m_E,)

@@ -114,3 +114,15 @@ def test_chunked_reorth_matches_full():
         ortho = np.abs(np.asarray(r1.basis.T @ r1.basis) - np.eye(k)).max()
         assert ortho < 1e-12
         assert r1.basis.shape == (n, k)
+
+
+def test_reorth_chunks_rejected_with_other_engines():
+    """reorth_chunks would be silently ignored by the restart/adaptive
+    forwards — dominant_eigh must reject the combination loudly."""
+    from dominantsparseeigenad_tpu import DenseOperator, dominant_eigh
+
+    op = DenseOperator(jnp.eye(16))
+    with pytest.raises(ValueError, match="reorth_chunks"):
+        dominant_eigh(op, k=8, reorth_chunks=4, early_exit_tol=1e-6)
+    with pytest.raises(ValueError, match="reorth_chunks"):
+        dominant_eigh(op, k=8, reorth_chunks=4, restart_cycles=2)

@@ -172,3 +172,23 @@ def test_spectral_density_differentiable():
     fd = (float(weight_at_zero(jnp.float64(g + eps)))
           - float(weight_at_zero(jnp.float64(g - eps)))) / (2 * eps)
     np.testing.assert_allclose(d, fd, rtol=1e-6, atol=1e-9)
+
+
+def test_empty_slice_is_flagged_not_vacuous():
+    """A window placed inside a spectral gap returns n_inside=0 and must
+    report converged=0 (not a vacuous success at residual 0)."""
+    n = 120
+    a = _sym(n, seed=9)
+    ew = np.linalg.eigh(np.asarray(a))[0]
+    gap_i = int(np.argmax(np.diff(ew)))
+    lo_e = float(ew[gap_i]) + 0.3 * (ew[gap_i + 1] - ew[gap_i])
+    hi_e = float(ew[gap_i]) + 0.7 * (ew[gap_i + 1] - ew[gap_i])
+    _, _, info = spectral_slice(DenseOperator(a), lo_e, hi_e, r=3,
+                                degree=60, maxiter=60, tol=1e-8)
+    assert float(info.n_inside) == 0.0
+    assert float(info.converged) == 0.0
+
+
+def test_degree_guard():
+    with pytest.raises(ValueError, match="degree"):
+        spectral_slice(DenseOperator(_sym(64)), 0.0, 1.0, r=3, degree=1)
