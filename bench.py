@@ -232,15 +232,15 @@ def exact_reference():
     return e0(G), de0
 
 
-def wait_for_device(max_tries: int = 12, probe_timeout: int = 75) -> bool:
+def wait_for_device(max_tries: int = 16, probe_timeout: int = 75) -> bool:
     """The tunneled TPU service occasionally wedges after a heavy job,
-    typically recovering in 2-30 min (utils.timing docs); probe it in a
-    subprocess with a timeout and back off until it answers, so a
-    driver-run bench doesn't report a hang as a result.  The probe
-    schedule spans ~18 min total (growing sleeps, capped at 180 s) —
-    sized to the observed recovery times, because a CPU-fallback result
-    forfeits ALL device-performance evidence for the round.  Returns
-    False only if the device never answered."""
+    typically recovering in 2-30 min (utils.timing docs) but observed
+    wedged >1.5 h once; probe it in a subprocess with a timeout and back
+    off until it answers, so a driver-run bench doesn't report a hang as
+    a result.  The probe schedule spans ~45 min total (growing sleeps,
+    capped at 240 s) — sized to the observed recovery times, because a
+    CPU-fallback result forfeits ALL device-performance evidence for the
+    round.  Returns False only if the device never answered."""
     import subprocess
     probe = ("import jax, jax.numpy as jnp; "
              "print(float(jnp.sum(jnp.ones(8))))")
@@ -254,7 +254,7 @@ def wait_for_device(max_tries: int = 12, probe_timeout: int = 75) -> bool:
         except Exception:
             if attempt == max_tries - 1:
                 break
-            delay = min(30 * (attempt + 1), 180)
+            delay = min(45 * (attempt + 1), 240)
             print(f"# device probe failed (attempt {attempt + 1}/"
                   f"{max_tries}); retrying in {delay}s", file=sys.stderr)
             time.sleep(delay)
