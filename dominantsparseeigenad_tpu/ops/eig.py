@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from .cg import bicgstab, cg, gmres
-from .operators import LinearOperator, as_operator, tol_floor, hdot
+from .operators import (LinearOperator, as_operator, hdot,
+                        hmatmul as _mm, tol_floor)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,7 +103,9 @@ def _arnoldi_ritz_vector(mv, n, k, key, dtype):
     hk = h[:k, :k]
 
     def square(_, m):
-        m = m @ m
+        # HIGHEST precision: 24 chained squarings amplify bf16 rounding
+        # exponentially; the (k, k) GEMM is tiny anyway.
+        m = _mm(m, m)
         return m / jnp.maximum(jnp.linalg.norm(m), tiny)
 
     m0 = hk / jnp.maximum(jnp.linalg.norm(hk), tiny)
@@ -112,7 +115,7 @@ def _arnoldi_ritz_vector(mv, n, k, key, dtype):
     j_best = jnp.argmax(jnp.linalg.norm(mp, axis=0))
     y = mp[:, j_best]
     y = y / jnp.maximum(jnp.linalg.norm(y), tiny)
-    v = basis[:k].T @ y
+    v = _mm(basis[:k].T, y)
     return v / jnp.maximum(jnp.linalg.norm(v), tiny)
 
 
