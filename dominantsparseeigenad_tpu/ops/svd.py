@@ -48,13 +48,18 @@ def _embed(op: LinearOperator, m: int, n: int) -> MatrixFreeOperator:
 
 def dominant_svd(a, r: int = 4, k: int = 128, *, tol: float = 1e-8,
                  maxiter: int | None = None, seed: int = 0,
-                 reorth_passes: int = 2, gap_eps: float = 1e-12):
+                 reorth_passes: int = 2, gap_eps: float = 1e-12,
+                 method: str = "lanczos", with_info: bool = False):
     """Top-r singular triplets of a matrix or LinearOperator.
 
     Returns ``(u, s, v)``: ``u`` (m, r) and ``v`` (n, r) with orthonormal
     columns, ``s`` (r,) descending, such that ``A v_i = s_i u_i``.
     Differentiable to arbitrary order w.r.t. the operator's pytree leaves
     (dense entries, sparse values, physical parameters).
+
+    ``method`` selects the embedding eigensolver forward ("lanczos" or
+    "lobpcg" — see :func:`~.eigh.dominant_eigh_multi`); ``with_info=True``
+    appends the block convergence report, ``(u, s, v, info)``.
     """
     if isinstance(a, LinearOperator):
         op = a
@@ -70,13 +75,18 @@ def dominant_svd(a, r: int = 4, k: int = 128, *, tol: float = 1e-8,
             op = _RectOperator(a)
 
     emb = _embed(op, m, n)
-    lams, w = dominant_eigh_multi(emb, r=r, k=min(k, m + n),
-                                  extreme="max", tol=tol, maxiter=maxiter,
-                                  seed=seed, reorth_passes=reorth_passes,
-                                  gap_eps=gap_eps)
+    out = dominant_eigh_multi(emb, r=r,
+                              k=min(k, m + n) if method == "lanczos" else k,
+                              extreme="max", tol=tol, maxiter=maxiter,
+                              seed=seed, reorth_passes=reorth_passes,
+                              gap_eps=gap_eps, method=method,
+                              with_info=with_info)
+    lams, w = out[0], out[1]
     sqrt2 = jnp.sqrt(jnp.asarray(2.0, w.dtype))
     u = w[:m] * sqrt2
     v = w[m:] * sqrt2
+    if with_info:
+        return u, lams, v, out[2]
     return u, lams, v
 
 

@@ -82,3 +82,25 @@ def test_matrix_free_operator_param_gradient():
     eps = 1e-6
     num = (smax(t0 + eps) - smax(t0 - eps)) / (2 * eps)
     np.testing.assert_allclose(grad, num, rtol=1e-6)
+
+
+def test_svd_with_info_and_lobpcg_method():
+    """with_info reports the embedding block residual; method='lobpcg'
+    matches the Lanczos forward on the same triplets."""
+    rng = np.random.default_rng(6)
+    a = jnp.asarray(rng.standard_normal((60, 40)))
+    sv = np.linalg.svd(np.asarray(a), compute_uv=False)
+
+    u, s, v, info = dominant_svd(a, r=3, k=100, tol=1e-10, with_info=True)
+    assert float(info.converged) == 1.0
+    np.testing.assert_allclose(s, sv[:3], rtol=1e-9)
+
+    u2, s2, v2 = dominant_svd(a, r=3, k=600, tol=1e-10, method="lobpcg")
+    np.testing.assert_allclose(s2, sv[:3], rtol=1e-8)
+    # Reconstruction: A v_i = s_i u_i for both forwards.
+    np.testing.assert_allclose(np.asarray(a @ v2),
+                               np.asarray(u2 * s2[None, :]), atol=1e-7)
+
+    _, _, _, starved = dominant_svd(a, r=3, k=4, tol=1e-10,
+                                    method="lobpcg", with_info=True)
+    assert float(starved.converged) == 0.0
