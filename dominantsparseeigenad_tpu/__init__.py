@@ -40,7 +40,9 @@ from .ops import (
     dominant_eigh,
     dominant_eigh_multi,
     lobpcg_eigh,
+    lobpcg_eigh_general,
     LobpcgInfo,
+    dominant_eigh_gen,
     refine_eigenpair,
     EighOptions,
     EighMultiOptions,

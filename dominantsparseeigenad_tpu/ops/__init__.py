@@ -17,7 +17,8 @@ from .cg import (cg, cg_info, bicgstab, gmres, minres, solve_spd,
                  solve_general)
 from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
                    EighMultiOptions, refine_eigenpair)
-from .lobpcg import lobpcg_eigh, LobpcgInfo
+from .lobpcg import lobpcg_eigh, lobpcg_eigh_general, LobpcgInfo
+from .gen import dominant_eigh_gen, EighGenOptions, solve_deflated_pencil
 from .eig import dominant_eig, dominant_eig_multi, EigOptions, PowerInfo
 from .sparse import (COOOperator, CSROperator, BCOOOperator, BellOperator,
                      random_bell_operator)
@@ -42,7 +43,8 @@ __all__ = [
     "cg", "cg_info", "bicgstab", "gmres", "minres", "solve_spd",
     "solve_symmetric", "solve_deflated", "solve_deflated_info",
     "solve_general",
-    "lobpcg_eigh", "LobpcgInfo",
+    "lobpcg_eigh", "lobpcg_eigh_general", "LobpcgInfo",
+    "dominant_eigh_gen", "EighGenOptions", "solve_deflated_pencil",
     "dominant_eigh", "dominant_eigh_multi", "refine_eigenpair", "EighOptions",
     "EighMultiOptions", "dominant_eig", "dominant_eig_multi",
     "EigOptions", "PowerInfo",

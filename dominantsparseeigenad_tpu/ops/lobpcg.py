@@ -219,3 +219,122 @@ def lobpcg_eigh(op, r: int = 4, *, extreme: str = "min",
         residual=res.astype(real_dtype),
         converged=(res <= tol).astype(real_dtype))
     return lams, x, info
+
+
+def lobpcg_eigh_general(a, b, r: int = 4, *, extreme: str = "min",
+                        maxiter: int = 200, tol: float = 1e-8, key=None,
+                        precond=None, with_info: bool = False):
+    """Extremal eigenpairs of the generalized symmetric-definite pencil
+    ``A x = lam B x`` (``B`` Hermitian positive definite) by LOBPCG with
+    B-inner products.
+
+    Same scheme as :func:`lobpcg_eigh`, with the Gram whitening taken in
+    the B metric (the Rayleigh-Ritz basis is B-orthonormal, so the small
+    projected problem stays standard) and the residual
+    ``R = A X - B X Λ``.  Costs one ``A`` and one ``B`` blocked matvec
+    per iteration.  The returned block satisfies ``X^H B X = I``.
+
+    Returns ``(lams, X)`` (ascending for "min", descending for "max")
+    or ``(lams, X, info)``; ``info.residual`` is
+    ``max_i ||A x_i - lam_i B x_i|| / max(|lam_i|, 1)``.
+    """
+    a = as_operator(a)
+    b = as_operator(b)
+    if extreme not in ("min", "max"):
+        raise ValueError(f"extreme must be min|max, got {extreme!r}")
+    if a.dim != b.dim:
+        raise ValueError(f"pencil dims differ: A {a.dim} vs B {b.dim}")
+    r = int(r)
+    n = a.dim
+    if n < 3 * r:
+        raise ValueError(f"LOBPCG needs dim >= 3*r; got dim={n}, r={r}")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    dtype = a.dtype
+    real_dtype = jnp.finfo(dtype).dtype
+    sign = 1.0 if extreme == "min" else -1.0
+    tol = tol_floor(tol, dtype)
+    drop_tol = 50.0 * jnp.finfo(real_dtype).eps
+
+    def amat(X):
+        return sign * a.matmat(X)
+
+    def _whiten_b(S, AS, BS):
+        # B-metric whitening: G = S^H B S; keeps AS/BS consistent.
+        g = _mm(S.conj().T, BS)
+        g = 0.5 * (g + g.conj().T)
+        d, u = jnp.linalg.eigh(g)
+        keep = d > drop_tol * jnp.maximum(d[-1], jnp.finfo(d.dtype).tiny)
+        scale = jnp.where(keep, lax.rsqrt(
+            jnp.maximum(d, jnp.finfo(d.dtype).tiny)), 0.0).astype(S.dtype)
+        t = u * scale[None, :]
+        return _mm(S, t), _mm(AS, t), _mm(BS, t), keep
+
+    x0 = jax.random.normal(key, (n, r), real_dtype).astype(dtype)
+    # B(S t) = (B S) t, so the transformed B-block returned by the
+    # whitening IS B x0 for the whitened x0 — no extra matmat needed.
+    x0, _, bx0, _ = _whiten_b(x0, jnp.zeros((n, r), dtype),
+                              b.matmat(x0))
+    ax0 = amat(x0)
+    lams0 = jnp.real(jnp.einsum(
+        "ni,ni->i", x0.conj(), ax0,
+        precision=jax.lax.Precision.HIGHEST)).astype(real_dtype)
+    zeros = jnp.zeros((n, r), dtype)
+
+    def resid_norm(x, ax, bx, lams):
+        rblk = ax - bx * lams[None, :].astype(dtype)
+        nrm = jnp.linalg.norm(rblk, axis=0).astype(real_dtype)
+        return rblk, jnp.max(nrm / jnp.maximum(jnp.abs(lams), 1.0))
+
+    _, res0 = resid_norm(x0, ax0, bx0, lams0)
+
+    def cond(state):
+        return (state[-1] < maxiter) & (state[-2] > tol)
+
+    def body(state):
+        x, ax, bx, p, ap, bp, lams, _, it = state
+        rblk = ax - bx * lams[None, :].astype(dtype)
+        w = precond(rblk) if precond is not None else rblk
+        # B-project W off span(X) twice, then column-normalize.
+        for _pass in range(2):
+            w = w - _mm(x, _mm(bx.conj().T, w))
+        aw = amat(w)
+        bw = b.matmat(w)
+        nrm = jnp.linalg.norm(w, axis=0)
+        scl = jnp.where(nrm > jnp.finfo(real_dtype).tiny,
+                        1.0 / jnp.maximum(nrm, jnp.finfo(real_dtype).tiny),
+                        0.0).astype(dtype)
+        w, aw, bw = w * scl, aw * scl, bw * scl
+        s = jnp.concatenate([x, w, p], axis=1)
+        a_s = jnp.concatenate([ax, aw, ap], axis=1)
+        b_s = jnp.concatenate([bx, bw, bp], axis=1)
+        so, aso, bso, keep = _whiten_b(s, a_s, b_s)
+        lams_new, y = _rayleigh_ritz(so, aso, keep, r)
+        x_new, ax_new, bx_new = _mm(so, y), _mm(aso, y), _mm(bso, y)
+        y_wp = y.at[:r, :].set(0)
+        p_new, ap_new, bp_new = (_mm(so, y_wp), _mm(aso, y_wp),
+                                 _mm(bso, y_wp))
+        pnrm = jnp.linalg.norm(p_new, axis=0)
+        ps = jnp.where(pnrm > jnp.finfo(real_dtype).tiny,
+                       1.0 / jnp.maximum(pnrm, jnp.finfo(real_dtype).tiny),
+                       0.0).astype(dtype)
+        p_new, ap_new, bp_new = p_new * ps, ap_new * ps, bp_new * ps
+        _, res = resid_norm(x_new, ax_new, bx_new, lams_new)
+        return (x_new, ax_new, bx_new, p_new, ap_new, bp_new,
+                lams_new.astype(real_dtype), res, it + 1)
+
+    state0 = (x0, ax0, bx0, zeros, zeros, zeros, lams0, res0,
+              jnp.zeros((), jnp.int32))
+    out = lax.while_loop(cond, body, state0)
+    x, lams, res, it = out[0], out[6], out[7], out[8]
+
+    lams = (sign * lams).astype(real_dtype)
+    pivots = jnp.take_along_axis(x, jnp.argmax(jnp.abs(x), axis=0)[None],
+                                 axis=0)[0]
+    x = x * jnp.conj(jnp.sign(pivots))[None, :]
+    if not with_info:
+        return lams, x
+    info = LobpcgInfo(iterations=it.astype(real_dtype),
+                      residual=res.astype(real_dtype),
+                      converged=(res <= tol).astype(real_dtype))
+    return lams, x, info
