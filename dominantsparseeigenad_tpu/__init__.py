@@ -66,6 +66,8 @@ from .ops import (
     spectral_slice,
     spectral_bounds,
     spectral_density,
+    trace_function,
+    logdet,
     SliceInfo,
     fidelity_susceptibility,
     energy_curvature,

@@ -29,7 +29,7 @@ from .svd import dominant_svd
 from .restart import lanczos_restarted, RestartState
 from .interior import interior_eigh
 from .slicing import (spectral_slice, spectral_bounds, spectral_density,
-                      SliceInfo, SliceOptions)
+                      trace_function, logdet, SliceInfo, SliceOptions)
 from .observables import fidelity_susceptibility, energy_curvature
 from .spectral import spectral_function
 
@@ -55,6 +55,7 @@ __all__ = [
     "svd_safe_truncated", "dominant_svd",
     "lanczos_restarted", "RestartState", "interior_eigh",
     "spectral_slice", "spectral_bounds", "spectral_density",
+    "trace_function", "logdet",
     "SliceInfo", "SliceOptions",
     "fidelity_susceptibility", "energy_curvature", "spectral_function",
 ]

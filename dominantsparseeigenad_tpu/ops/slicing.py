@@ -309,6 +309,51 @@ def spectral_slice(op, a: float, b: float, r: int = 8, *,
     return _spectral_slice(op, a, b, opts)
 
 
+def _chebyshev_moments(op, degree: int, n_probe: int, key, bounds,
+                       bounds_k: int):
+    """Hutchinson-estimated normalized Chebyshev moments
+    ``mu_j = (1/N) Tr T_j(Ã)`` of the affinely-mapped operator, plus the
+    enclosure (center, halfwidth) used for the map.  Shared by
+    :func:`spectral_density` and :func:`trace_function`."""
+    op = as_operator(op)
+    dtype = op.dtype
+    real_dtype = jnp.finfo(dtype).dtype
+    if key is None:
+        key = jax.random.PRNGKey(7)
+    if bounds is None:
+        lo, hi = spectral_bounds(op, bounds_k,
+                                 key=jax.random.fold_in(key, 1))
+    else:
+        lo, hi = (jnp.asarray(bounds[0], real_dtype),
+                  jnp.asarray(bounds[1], real_dtype))
+    center = (hi + lo) / 2.0
+    halfwidth = (hi - lo) / 2.0
+
+    def amap(v):
+        return (op.matmat(v) - center.astype(dtype) * v) / \
+            halfwidth.astype(dtype)
+
+    z = jax.random.rademacher(
+        jax.random.fold_in(key, 2), (op.dim, int(n_probe)),
+        dtype=real_dtype).astype(dtype)
+
+    t_prev, t_cur = z, amap(z)
+
+    def moment(t):  # (1/(N*s)) sum_z z^H T_j(Ã) z
+        return jnp.real(jnp.sum(jnp.conj(z) * t)) / (op.dim * z.shape[1])
+
+    def body(carry, _):
+        t_prev, t_cur = carry
+        t_next = 2.0 * amap(t_cur) - t_prev
+        return (t_cur, t_next), moment(t_next)
+
+    (_, _), mus_tail = lax.scan(body, (t_prev, t_cur),
+                                None, length=int(degree) - 1)
+    mus = jnp.concatenate([jnp.stack([moment(t_prev), moment(t_cur)]),
+                           mus_tail]).astype(real_dtype)
+    return mus, center, halfwidth
+
+
 def spectral_density(op, energies, *, degree: int = 120,
                      n_probe: int = 16, key=None, bounds=None,
                      bounds_k: int = 30):
@@ -342,40 +387,10 @@ def spectral_density(op, energies, *, degree: int = 120,
     so that ``integral rho dE ~ 1``.
     """
     op = as_operator(op)
-    dtype = op.dtype
-    real_dtype = jnp.finfo(dtype).dtype
-    if key is None:
-        key = jax.random.PRNGKey(7)
-    if bounds is None:
-        lo, hi = spectral_bounds(op, bounds_k, key=jax.random.fold_in(key, 1))
-    else:
-        lo, hi = (jnp.asarray(bounds[0], real_dtype),
-                  jnp.asarray(bounds[1], real_dtype))
-    center = (hi + lo) / 2.0
-    halfwidth = (hi - lo) / 2.0
-
-    def amap(v):
-        return (op.matmat(v) - center.astype(dtype) * v) / \
-            halfwidth.astype(dtype)
-
-    z = jax.random.rademacher(
-        jax.random.fold_in(key, 2), (op.dim, int(n_probe)),
-        dtype=real_dtype).astype(dtype)
-
-    t_prev, t_cur = z, amap(z)
-
-    def moment(t):  # (1/(N*s)) sum_z z^H T_j(Ã) z
-        return jnp.real(jnp.sum(jnp.conj(z) * t)) / (op.dim * z.shape[1])
-
-    def body(carry, _):
-        t_prev, t_cur = carry
-        t_next = 2.0 * amap(t_cur) - t_prev
-        return (t_cur, t_next), moment(t_next)
-
-    (_, _), mus_tail = lax.scan(body, (t_prev, t_cur),
-                                None, length=int(degree) - 1)
-    mus = jnp.concatenate([jnp.stack([moment(t_prev), moment(t_cur)]),
-                           mus_tail]).astype(real_dtype)
+    real_dtype = jnp.finfo(op.dtype).dtype
+    mus, center, halfwidth = _chebyshev_moments(op, int(degree),
+                                                int(n_probe), key, bounds,
+                                                int(bounds_k))
 
     # Jackson damping + Chebyshev kernel at the mapped energies.
     j = jnp.arange(int(degree) + 1, dtype=real_dtype)
@@ -387,3 +402,74 @@ def spectral_density(op, energies, *, degree: int = 120,
     weights = jnp.where(j == 0, 1.0, 2.0) * g * mus
     rho_hat = (weights[None, :] @ tj)[0] / (jnp.pi * jnp.sqrt(1 - e_hat**2))
     return rho_hat / halfwidth                      # d(e_hat)/dE
+
+
+def trace_function(op, f, *, degree: int = 120, n_probe: int = 16,
+                   key=None, bounds=None, bounds_k: int = 30,
+                   jackson: bool = True):
+    """Stochastic Chebyshev estimate of ``Tr f(A)`` for symmetric ``A``.
+
+    Kernel-polynomial / Hutchinson estimator: ``Tr f(A) ~
+    N * sum_j g_j c_j mu_j`` with ``mu_j`` the Rademacher-probe moments
+    of the mapped operator (shared with :func:`spectral_density`) and
+    ``c_j`` the Chebyshev-interpolation coefficients of ``f`` on the
+    spectral enclosure, computed by a DCT at the Chebyshev nodes —
+    ``f`` only ever gets evaluated on scalars inside the enclosure, so
+    ``f = jnp.log`` is safe for SPD operators whose enclosure stays
+    positive (see :func:`logdet`).
+
+    Fully differentiable by plain AD w.r.t. the operator parameters (a
+    fixed composition of matvecs — no custom rule needed) and w.r.t.
+    anything ``f`` closes over.
+
+    Parameters mirror :func:`spectral_density`; ``jackson=False``
+    disables the damping (plain Chebyshev interpolation — better for
+    analytic ``f`` like exp, keep it on for kinky ``f``).
+
+    Returns a scalar estimate of ``Tr f(A)``; variance falls as
+    ``1/(N * n_probe)``.
+    """
+    op = as_operator(op)
+    real_dtype = jnp.finfo(op.dtype).dtype
+    degree = int(degree)
+    mus, center, halfwidth = _chebyshev_moments(op, degree, int(n_probe),
+                                                key, bounds, int(bounds_k))
+    # Chebyshev coefficients of f on the enclosure by DCT-II at the
+    # nodes x_k = cos(pi (k + 1/2) / M).
+    m = degree + 1
+    k = jnp.arange(m, dtype=real_dtype)
+    theta_k = jnp.pi * (k + 0.5) / m
+    x_k = jnp.cos(theta_k)
+    f_k = f(center + halfwidth * x_k).astype(real_dtype)
+    j = jnp.arange(m, dtype=real_dtype)
+    cos_tbl = jnp.cos(j[:, None] * theta_k[None, :])      # (m, m)
+    c = (2.0 / m) * (cos_tbl @ f_k)
+    c = c.at[0].multiply(0.5)
+    g = _jackson_damping(degree, real_dtype) if jackson else 1.0
+    return op.dim * jnp.sum(g * c * mus)
+
+
+def logdet(op, *, degree: int = 160, n_probe: int = 16, key=None,
+           bounds=None, bounds_k: int = 30):
+    """Stochastic ``log det A`` for a symmetric POSITIVE DEFINITE
+    operator: ``Tr ln(A)`` via :func:`trace_function`.
+
+    The spectral enclosure must stay positive; when the Lanczos-estimated
+    lower bound dips below zero (pad margin on a barely-definite
+    operator), it is clamped to a small positive floor — results for
+    genuinely indefinite operators are meaningless (log of a negative
+    spectrum).  Accuracy degrades with condition number (ln is hard to
+    approximate near 0): raise ``degree`` for ill-conditioned operators.
+    """
+    op = as_operator(op)
+    real_dtype = jnp.finfo(op.dtype).dtype
+    if bounds is None:
+        lo, hi = spectral_bounds(op, bounds_k,
+                                 key=jax.random.PRNGKey(11))
+        floor = jnp.asarray(jnp.finfo(real_dtype).eps, real_dtype) * \
+            jnp.abs(hi) * 10.0
+        lo = jnp.maximum(lo, floor)
+        bounds = (lo, hi)
+    return trace_function(op, jnp.log, degree=degree, n_probe=n_probe,
+                          key=key, bounds=bounds, bounds_k=bounds_k,
+                          jackson=False)

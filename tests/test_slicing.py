@@ -192,3 +192,39 @@ def test_empty_slice_is_flagged_not_vacuous():
 def test_degree_guard():
     with pytest.raises(ValueError, match="degree"):
         spectral_slice(DenseOperator(_sym(64)), 0.0, 1.0, r=3, degree=1)
+
+
+def test_trace_function_and_logdet():
+    """Stochastic Chebyshev trace: Tr f(A) on a flat functional within
+    Hutchinson noise, logdet vs slogdet, and grad == FD of the (same-
+    probe, deterministic) estimator itself."""
+    from dominantsparseeigenad_tpu import logdet, trace_function
+
+    rng = np.random.default_rng(3)
+    n = 300
+    c = rng.standard_normal((n, n)) / np.sqrt(n)
+    spd = c @ c.T + 2.0 * np.eye(n)
+    op = DenseOperator(jnp.asarray(spd))
+    ew = np.linalg.eigh(spd)[0]
+
+    # Flat functional -> small Hutchinson variance.
+    t_est = float(trace_function(op, lambda x: jnp.exp(-0.3 * x),
+                                 degree=80, n_probe=32, jackson=False))
+    t_true = np.exp(-0.3 * ew).sum()
+    assert abs(t_est / t_true - 1) < 0.05
+
+    ld = float(logdet(op, degree=160, n_probe=32))
+    ld_true = np.linalg.slogdet(spd)[1]
+    assert abs(ld / ld_true - 1) < 0.02
+
+    # AD: the estimator is a deterministic function (fixed key), so its
+    # gradient must match finite differences of ITSELF exactly.
+    def z(beta):
+        return trace_function(op, lambda x: jnp.exp(-beta * x), degree=80,
+                              n_probe=16, jackson=False)
+
+    d = float(jax.grad(z)(jnp.float64(0.3)))
+    eps = 1e-5
+    fd = (float(z(jnp.float64(0.3 + eps)))
+          - float(z(jnp.float64(0.3 - eps)))) / (2 * eps)
+    np.testing.assert_allclose(d, fd, rtol=1e-7)
