@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--r", type=int, default=14)
     ap.add_argument("--degree", type=int, default=200)
     ap.add_argument("--dos-points", type=int, default=40)
+    ap.add_argument("--maxiter", type=int, default=300)
     args = ap.parse_args()
 
     n, g = args.n, args.g
@@ -59,8 +60,8 @@ def main():
     e0 = float(e0)
     lo_e, hi_e = e0 + 1.5, e0 + 3.37
     lams, v, info = spectral_slice(op, lo_e, hi_e, r=args.r,
-                                   degree=args.degree, maxiter=300,
-                                   tol=1e-9)
+                                   degree=args.degree,
+                                   maxiter=args.maxiter, tol=1e-9)
     inside = (np.asarray(lams) >= lo_e) & (np.asarray(lams) <= hi_e)
     print(f"slice [{lo_e:.2f}, {hi_e:.2f}]: {int(info.n_inside)} states, "
           f"max residual {float(info.residual):.2e}, "
@@ -71,7 +72,7 @@ def main():
     def centroid(gv):
         ls, _, inf = spectral_slice(tfim_operator(n, gv), lo_e, hi_e,
                                     r=args.r, degree=args.degree,
-                                    maxiter=300, tol=1e-9)
+                                    maxiter=args.maxiter, tol=1e-9)
         msk = (ls >= lo_e) & (ls <= hi_e)
         return jnp.sum(jnp.where(msk, ls, 0.0)) / jnp.maximum(
             jnp.sum(msk), 1)

@@ -21,7 +21,8 @@ _CASES = [
     ("transfer_spectrum.py",
      ["--points", "2", "--chi", "8", "--steps", "10"]),
     ("lobpcg_precond.py", ["--n", "10", "--maxiter", "200"]),
-    ("spectrum_slice.py", ["--n", "10", "--dos-points", "10"]),
+    ("spectrum_slice.py", ["--n", "10", "--dos-points", "10",
+                          "--maxiter", "150"]),
 ]
 
 

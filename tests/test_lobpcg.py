@@ -85,7 +85,7 @@ def test_multi_method_parity_and_order2_grads():
     forward (same IFT rule) and stay twice-differentiable."""
     n, r = 48, 3
     a = _sym(n, seed=3)
-    l_lo, v_lo = dominant_eigh_multi(DenseOperator(a), r=r, k=400,
+    l_lo, v_lo = dominant_eigh_multi(DenseOperator(a), r=r, k=300,
                                      method="lobpcg", tol=1e-11)
     l_la, v_la = dominant_eigh_multi(DenseOperator(a), r=r, k=n,
                                      method="lanczos")
@@ -95,10 +95,10 @@ def test_multi_method_parity_and_order2_grads():
 
     def f(mat):
         l, v = dominant_eigh_multi(DenseOperator((mat + mat.T) / 2), r=r,
-                                   k=400, method="lobpcg", tol=1e-12)
+                                   k=300, method="lobpcg", tol=1e-12)
         return jnp.sum(l * jnp.arange(1.0, r + 1.0)) + jnp.sum(v[0] ** 2)
 
-    m0 = jnp.asarray(np.random.default_rng(4).standard_normal((40, 40)))
+    m0 = jnp.asarray(np.random.default_rng(4).standard_normal((32, 32)))
     check_grads(f, (m0,), order=2, modes=("fwd", "rev"), atol=1e-3,
                 rtol=1e-3)
 

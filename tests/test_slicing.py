@@ -58,16 +58,16 @@ def test_slice_guards():
 def test_slice_gradients_order2():
     """Interior-block IFT rule (deflated MINRES): check_grads to order 2
     on the sum of inside eigenvalues of a parameterized matrix."""
-    n = 48
+    n = 40
     a0 = np.asarray(_sym(n, seed=2))
     ew = np.linalg.eigh(a0)[0]
-    lo_e = (ew[20] + ew[19]) / 2
-    hi_e = (ew[23] + ew[22]) / 2  # 3 eigenvalues inside, r=4 buffer
+    lo_e = (ew[17] + ew[16]) / 2
+    hi_e = (ew[20] + ew[19]) / 2  # 3 eigenvalues inside, r=4 buffer
 
     def f(mat):
         sym = (mat + mat.T) / 2
         lams, v, _ = spectral_slice(DenseOperator(sym), lo_e, hi_e, r=4,
-                                    degree=120, maxiter=300, tol=1e-11)
+                                    degree=80, maxiter=200, tol=1e-11)
         w = jnp.asarray([0.0, 1.0, 2.0, 3.0])
         return jnp.sum(lams * w) + jnp.sum(v[0] ** 2)
 
@@ -89,7 +89,7 @@ def test_slice_tfim_excited_band():
     def band_sum(gv):
         op = tfim_operator(n, gv)
         lams, _, info = spectral_slice(op, lo_e, hi_e, r=14, degree=200,
-                                       maxiter=300, tol=1e-9)
+                                       maxiter=150, tol=1e-9)
         inside = (lams >= lo_e) & (lams <= hi_e)
         return jnp.sum(jnp.where(inside, lams, 0.0)), info
 
