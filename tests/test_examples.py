@@ -23,6 +23,7 @@ _CASES = [
     ("lobpcg_precond.py", ["--n", "10", "--maxiter", "200"]),
     ("spectrum_slice.py", ["--n", "10", "--dos-points", "10",
                           "--maxiter", "150"]),
+    ("vibrational_modes.py", ["--n", "100"]),
 ]
 
 

@@ -131,3 +131,27 @@ def test_guards():
                           DenseOperator(jnp.asarray(b)), extreme="mid")
     with pytest.raises(ValueError, match="dims differ"):
         lobpcg_eigh_general(jnp.asarray(a), jnp.eye(10), 2)
+
+
+def test_complex_hermitian_pencil():
+    """Complex Hermitian A with real SPD B: values vs scipy, forward
+    B-orthonormality in the complex inner product."""
+    from dominantsparseeigenad_tpu import lobpcg_eigh_general
+
+    rng = np.random.default_rng(4)
+    n, r = 80, 2
+    h = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    a = (h + h.conj().T) / 2 + np.diag(np.arange(1.0, n + 1))
+    c = rng.standard_normal((n, n)) / np.sqrt(4 * n)
+    b = c @ c.T + np.eye(n)
+    ew = scipy.linalg.eigh(a, b, eigvals_only=True)
+    dinv = jnp.asarray(1.0 / (np.arange(1.0, n + 1) + 1.0),
+                       jnp.complex128)
+
+    lams, v, info = lobpcg_eigh_general(
+        jnp.asarray(a), jnp.asarray(b, np.complex128), r, tol=1e-10,
+        maxiter=400, precond=lambda R: dinv[:, None] * R, with_info=True)
+    assert float(info.converged) == 1.0
+    np.testing.assert_allclose(lams, ew[:r], rtol=1e-9)
+    gram = np.asarray(v).conj().T @ b @ np.asarray(v)
+    np.testing.assert_allclose(gram, np.eye(r), atol=1e-9)
