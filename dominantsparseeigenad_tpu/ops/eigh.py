@@ -190,6 +190,7 @@ class EighMultiOptions:
     seed: int = 0
     reorth_passes: int = 2
     gap_eps: float = 1e-12
+    reorth_chunks: int = 0
     method: str = "lanczos"
     # SPD approximate inverse used BOTH by the LOBPCG forward (on the
     # residual block) and by the deflated tangent solves.  Static aux
@@ -213,7 +214,8 @@ def _multi_forward(op, extreme: str, opts: EighMultiOptions):
         # the budget is opts.k unclamped.
         return lobpcg_eigh(op, opts.r, extreme=extreme, maxiter=opts.k,
                            tol=opts.tol, key=key, precond=precond)
-    res = lanczos(op, k, key=key, reorth_passes=opts.reorth_passes)
+    res = lanczos(op, k, key=key, reorth_passes=opts.reorth_passes,
+                  reorth_chunks=opts.reorth_chunks)
     t = jnp.diag(res.alphas)
     if res.betas.shape[0]:
         t = t + jnp.diag(res.betas, 1) + jnp.diag(res.betas, -1)
@@ -337,7 +339,8 @@ def _dominant_eigh_multi_info_jvp(extreme, opts, primals, tangents):
 def dominant_eigh_multi(op, r: int = 4, k: int = 128, *,
                         extreme: str = "min", tol: float = 1e-8,
                         maxiter: int | None = None, seed: int = 0,
-                        reorth_passes: int = 2, gap_eps: float = 1e-12,
+                        reorth_passes: int = 2, reorth_chunks: int = 0,
+                        gap_eps: float = 1e-12,
                         method: str = "lanczos", precond=None,
                         with_info: bool = False):
     """Top-r extremal eigenpairs of a symmetric operator, differentiable.
@@ -389,6 +392,7 @@ def dominant_eigh_multi(op, r: int = 4, k: int = 128, *,
         r=r, k=k, tol=float(tol),
         maxiter=None if maxiter is None else int(maxiter),
         seed=int(seed), reorth_passes=int(reorth_passes),
+        reorth_chunks=int(reorth_chunks),
         gap_eps=float(gap_eps), method=method, precond=precond)
     if with_info:
         return _dominant_eigh_multi_info(op, extreme, opts)
