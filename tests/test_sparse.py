@@ -239,3 +239,33 @@ def test_csr_from_scipy_rejects_rectangular():
 
     with pytest.raises(ValueError, match="square"):
         CSROperator.from_scipy(sp.random(6, 9, density=0.5, format="csr"))
+
+
+def test_csr_lobpcg_and_spectral_slice():
+    """The new block solvers run on sparse operators (matmat = vmapped
+    sparse matvec): LOBPCG block values and an interior slice both match
+    the dense oracle on a CSR operator."""
+    from dominantsparseeigenad_tpu import (CSROperator, lobpcg_eigh,
+                                           spectral_slice)
+
+    n, r = 150, 3
+    a = _random_sparse_sym(n, seed=13)
+    op = CSROperator.from_dense(a)
+    ew = np.linalg.eigh(np.asarray(a))[0]
+
+    # Random sparse spectra are heavily clustered, so the block-boundary
+    # gap is tiny — ask for a reachable residual (eigenvalue error goes
+    # as residual^2, so values are still sharp).
+    lams, _, info = lobpcg_eigh(op, r, tol=1e-6, maxiter=600,
+                                with_info=True)
+    assert float(info.converged) == 1.0
+    np.testing.assert_allclose(lams, ew[:r], rtol=1e-7)
+
+    lo_e = (ew[70] + ew[69]) / 2
+    hi_e = (ew[73] + ew[72]) / 2  # 3 inside
+    sl, _, sinfo = spectral_slice(op, float(lo_e), float(hi_e), r=5,
+                                  degree=100, maxiter=250, tol=1e-8)
+    inside = np.asarray(sl)[(np.asarray(sl) >= lo_e)
+                            & (np.asarray(sl) <= hi_e)]
+    assert float(sinfo.n_inside) == 3.0
+    np.testing.assert_allclose(np.sort(inside), ew[70:73], rtol=1e-7)
