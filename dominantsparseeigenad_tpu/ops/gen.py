@@ -35,7 +35,8 @@ from .operators import as_operator, hmatmul as _mm, tol_floor
 
 
 def solve_deflated_pencil(a, b, lam, v, bv, rhs, *, definite_sign=1.0,
-                          tol: float = 1e-8, maxiter: int | None = None):
+                          tol: float = 1e-8, maxiter: int | None = None,
+                          precond=None):
     """Differentiable solve of the B-deflated pencil system
 
         P_L (A - lam B) P_R x = P_L rhs,
@@ -62,7 +63,12 @@ def solve_deflated_pencil(a, b, lam, v, bv, rhs, *, definite_sign=1.0,
 
     def solver(matvec, r):
         r = proj_l(r)
-        return proj_r(cg(matvec, r, tol=tol, maxiter=maxiter))
+        kw = {}
+        if precond is not None:
+            # Deflated-PCG sandwich: keep the preconditioned residual in
+            # the projected subspace.
+            kw["precond"] = lambda rr: proj_r(precond(rr))
+        return proj_r(cg(matvec, r, tol=tol, maxiter=maxiter, **kw))
 
     x = _hermitian_linear_solve(mv, sign * proj_l(rhs), solver)
     return proj_r(x)
@@ -84,10 +90,16 @@ class EighGenOptions:
 
 
 def _gen_forward(a, b, extreme: str, opts: EighGenOptions):
+    from .eigh import _columnwise
     from .lobpcg import lobpcg_eigh_general
+    precond = opts.precond
+    if precond is not None:
+        # Public convention mirrors dominant_eigh_multi: VECTOR
+        # preconditioners; the LOBPCG forward wants the (N, r) block.
+        precond = partial(_columnwise, opts.precond)
     return lobpcg_eigh_general(
         a, b, opts.r, extreme=extreme, maxiter=opts.maxiter, tol=opts.tol,
-        key=jax.random.PRNGKey(opts.seed), precond=opts.precond,
+        key=jax.random.PRNGKey(opts.seed), precond=precond,
         with_info=opts.with_info)
 
 
@@ -119,10 +131,12 @@ def _gen_tangents(a, b, da, db, lams, v, extreme, opts):
         return solve_deflated_pencil(a, b, lam_i, v, bv, rhs_i,
                                      definite_sign=sign,
                                      tol=opts.solve_tol,
-                                     maxiter=opts.solve_maxiter)
+                                     maxiter=opts.solve_maxiter,
+                                     precond=opts.precond)
 
     dv_out = jax.vmap(one, in_axes=(0, 1), out_axes=1)(lams, rhs)
-    return dlams, dv_in + dv_out
+    from .eigh import _pivot_phase_project
+    return dlams, _pivot_phase_project(v, dv_in + dv_out)
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(2, 3))
@@ -157,7 +171,11 @@ def dominant_eigh_gen(a, b, r: int = 4, *, extreme: str = "min",
     Parameters mirror :func:`~.eigh.dominant_eigh_multi`; ``maxiter`` is
     the LOBPCG iteration budget (each iteration = one ``A`` + one ``B``
     blocked matvec), ``precond`` an approximate inverse of
-    ``(A - sigma B)`` applied to the (N, r) residual block.
+    ``(A - sigma B)`` in the VECTOR convention ``z = M^{-1} r`` (same as
+    ``dominant_eigh_multi``; it is vmapped over the residual block for
+    the forward) — used by the LOBPCG forward AND by the deflated
+    tangent solves, so gradients get the same acceleration.  Pass a
+    stable callable (jit-static, keyed by identity).
 
     Returns ``(lams, V)`` with ``V^H B V = I`` (B-orthonormal), plus a
     :class:`~.lanczos.LanczosInfo` when ``with_info=True`` (residual =

@@ -57,6 +57,20 @@ class LobpcgInfo(NamedTuple):
     converged: jax.Array
 
 
+def _colnormalize(blocks):
+    """Scale columns of the first block to unit norm, applying the same
+    scale to the companion blocks (A*/B*-images).  Shared by the
+    standard and the generalized loop — keep the two in lockstep (the
+    B=I parity test pins their equivalence)."""
+    m = blocks[0]
+    real_dtype = jnp.finfo(m.dtype).dtype
+    nrm = jnp.linalg.norm(m, axis=0)
+    scl = jnp.where(nrm > jnp.finfo(real_dtype).tiny,
+                    1.0 / jnp.maximum(nrm, jnp.finfo(real_dtype).tiny),
+                    0.0).astype(m.dtype)
+    return tuple(b * scl[None, :] for b in blocks)
+
+
 def _whiten(S, AS, drop_tol):
     """Orthonormalize the columns of ``S`` by Gram whitening, applying the
     same transform to ``AS``; near-dependent directions are dropped by
@@ -162,13 +176,6 @@ def lobpcg_eigh(op, r: int = 4, *, extreme: str = "min",
         _, _, _, _, _, res, it = state
         return (it < maxiter) & (res > tol)
 
-    def colnormalize(m, am):
-        nrm = jnp.linalg.norm(m, axis=0)
-        scl = jnp.where(nrm > jnp.finfo(real_dtype).tiny,
-                        1.0 / jnp.maximum(nrm, jnp.finfo(real_dtype).tiny),
-                        0.0).astype(dtype)
-        return m * scl[None, :], am * scl[None, :]
-
     def body(state):
         x, ax, p, ap, lams, _, it = state
         rblk = ax - x * lams[None, :].astype(dtype)
@@ -181,7 +188,7 @@ def lobpcg_eigh(op, r: int = 4, *, extreme: str = "min",
         for _pass in range(2):
             w = w - _mm(x, _mm(x.conj().T, w))
         aw = amat(w)
-        w, aw = colnormalize(w, aw)
+        w, aw = _colnormalize((w, aw))
         s = jnp.concatenate([x, w, p], axis=1)
         a_s = jnp.concatenate([ax, aw, ap], axis=1)
         so, aso, keep = _whiten(s, a_s, drop_tol)
@@ -191,14 +198,7 @@ def lobpcg_eigh(op, r: int = 4, *, extreme: str = "min",
         # Next conjugate directions: the W/P contribution to the update
         # (zero the X-block rows of Y), column-normalized for scale.
         y_wp = y.at[:r, :].set(0)
-        p_new = _mm(so, y_wp)
-        ap_new = _mm(aso, y_wp)
-        pnrm = jnp.linalg.norm(p_new, axis=0)
-        pscale = jnp.where(pnrm > jnp.finfo(real_dtype).tiny,
-                           1.0 / jnp.maximum(pnrm, jnp.finfo(real_dtype).tiny),
-                           0.0).astype(dtype)
-        p_new = p_new * pscale[None, :]
-        ap_new = ap_new * pscale[None, :]
+        p_new, ap_new = _colnormalize((_mm(so, y_wp), _mm(aso, y_wp)))
         _, res = resid_norm(x_new, ax_new, lams_new)
         return (x_new, ax_new, p_new, ap_new,
                 lams_new.astype(real_dtype), res, it + 1)
@@ -300,11 +300,7 @@ def lobpcg_eigh_general(a, b, r: int = 4, *, extreme: str = "min",
             w = w - _mm(x, _mm(bx.conj().T, w))
         aw = amat(w)
         bw = b.matmat(w)
-        nrm = jnp.linalg.norm(w, axis=0)
-        scl = jnp.where(nrm > jnp.finfo(real_dtype).tiny,
-                        1.0 / jnp.maximum(nrm, jnp.finfo(real_dtype).tiny),
-                        0.0).astype(dtype)
-        w, aw, bw = w * scl, aw * scl, bw * scl
+        w, aw, bw = _colnormalize((w, aw, bw))
         s = jnp.concatenate([x, w, p], axis=1)
         a_s = jnp.concatenate([ax, aw, ap], axis=1)
         b_s = jnp.concatenate([bx, bw, bp], axis=1)
@@ -312,13 +308,8 @@ def lobpcg_eigh_general(a, b, r: int = 4, *, extreme: str = "min",
         lams_new, y = _rayleigh_ritz(so, aso, keep, r)
         x_new, ax_new, bx_new = _mm(so, y), _mm(aso, y), _mm(bso, y)
         y_wp = y.at[:r, :].set(0)
-        p_new, ap_new, bp_new = (_mm(so, y_wp), _mm(aso, y_wp),
-                                 _mm(bso, y_wp))
-        pnrm = jnp.linalg.norm(p_new, axis=0)
-        ps = jnp.where(pnrm > jnp.finfo(real_dtype).tiny,
-                       1.0 / jnp.maximum(pnrm, jnp.finfo(real_dtype).tiny),
-                       0.0).astype(dtype)
-        p_new, ap_new, bp_new = p_new * ps, ap_new * ps, bp_new * ps
+        p_new, ap_new, bp_new = _colnormalize(
+            (_mm(so, y_wp), _mm(aso, y_wp), _mm(bso, y_wp)))
         _, res = resid_norm(x_new, ax_new, bx_new, lams_new)
         return (x_new, ax_new, bx_new, p_new, ap_new, bp_new,
                 lams_new.astype(real_dtype), res, it + 1)

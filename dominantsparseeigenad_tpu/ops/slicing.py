@@ -251,8 +251,10 @@ def _spectral_slice_jvp(a, b, opts, primals, tangents):
                               maxiter=opts.solve_maxiter)
 
     dv_out = jax.vmap(one, in_axes=(0, 1), out_axes=1)(lams, rhs)
+    from .eigh import _pivot_phase_project
+    dv = _pivot_phase_project(v, dv_in + dv_out)
     dinfo = SliceInfo(*(jnp.zeros_like(x) for x in info))
-    return (lams, v, info), (dlams, dv_in + dv_out, dinfo)
+    return (lams, v, info), (dlams, dv, dinfo)
 
 
 def spectral_slice(op, a: float, b: float, r: int = 8, *,
@@ -454,18 +456,41 @@ def logdet(op, *, degree: int = 160, n_probe: int = 16, key=None,
     """Stochastic ``log det A`` for a symmetric POSITIVE DEFINITE
     operator: ``Tr ln(A)`` via :func:`trace_function`.
 
-    The spectral enclosure must stay positive; when the Lanczos-estimated
-    lower bound dips below zero (pad margin on a barely-definite
-    operator), it is clamped to a small positive floor — results for
-    genuinely indefinite operators are meaningless (log of a negative
-    spectrum).  Accuracy degrades with condition number (ln is hard to
-    approximate near 0): raise ``degree`` for ill-conditioned operators.
+    The spectral enclosure must stay positive, and for ``ln`` it should
+    be TIGHT at the bottom (the interpolation error blows up as the
+    interval approaches 0), so the auto-enclosure uses a 1% margin
+    instead of :func:`spectral_bounds`' default 10% — the default pad
+    on a well-conditioned operator would push ``lo`` negative and cost
+    orders of magnitude of accuracy.  If ``lo`` still lands <= 0
+    (barely-definite or genuinely indefinite operator), it is clamped
+    to a small positive floor; results are then only as good as the
+    degree allows — pass explicit ``bounds`` when you know the
+    spectrum.
+
+    Error budget: with tight bounds the Chebyshev interpolation of ln is
+    exact to round-off (analytic f), so the estimate's error is purely
+    the Hutchinson trace noise, ABSOLUTE scale ``~ ||ln A||_F *
+    sqrt(2 / n_probe)`` — the RELATIVE error blows up when
+    ``Tr ln A ~ 0`` by cancellation of +/- log terms.  Budget
+    ``n_probe`` against the absolute accuracy you need.
     """
+    from .eigh import dominant_eigh
+
     op = as_operator(op)
     real_dtype = jnp.finfo(op.dtype).dtype
     if bounds is None:
-        lo, hi = spectral_bounds(op, bounds_k,
-                                 key=jax.random.PRNGKey(11))
+        # ln needs a TIGHT lower bound (interpolation error blows up as
+        # the interval approaches 0), so don't use the padded Lanczos
+        # enclosure — converge the extremal eigenvalues and widen by the
+        # certified Ritz residual |lam - theta| <= ||A v - theta v||.
+        lmin, _, i_lo = dominant_eigh(op, k=min(2 * bounds_k, op.dim),
+                                      extreme="min", with_info=True)
+        lmax, _, i_hi = dominant_eigh(op, k=min(2 * bounds_k, op.dim),
+                                      extreme="max", with_info=True)
+        pad_lo = i_lo.residual * jnp.maximum(jnp.abs(lmin), 1.0)
+        pad_hi = i_hi.residual * jnp.maximum(jnp.abs(lmax), 1.0)
+        lo = lmin - pad_lo - 1e-3 * jnp.abs(lmin)
+        hi = lmax + pad_hi + 1e-3 * jnp.abs(lmax)
         floor = jnp.asarray(jnp.finfo(real_dtype).eps, real_dtype) * \
             jnp.abs(hi) * 10.0
         lo = jnp.maximum(lo, floor)

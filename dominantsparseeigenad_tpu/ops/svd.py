@@ -75,8 +75,8 @@ def dominant_svd(a, r: int = 4, k: int = 128, *, tol: float = 1e-8,
             op = _RectOperator(a)
 
     emb = _embed(op, m, n)
-    out = dominant_eigh_multi(emb, r=r,
-                              k=min(k, m + n) if method == "lanczos" else k,
+    # dominant_eigh_multi clamps k itself per method (lanczos: <= dim).
+    out = dominant_eigh_multi(emb, r=r, k=k,
                               extreme="max", tol=tol, maxiter=maxiter,
                               seed=seed, reorth_passes=reorth_passes,
                               gap_eps=gap_eps, method=method,

@@ -27,9 +27,10 @@ from dominantsparseeigenad_tpu import DenseOperator, dominant_eigh_gen
 _PREC = {}
 
 
-def stiffness_precond(r_blk):
-    """Static response K^{-1} R — module-level (jit-static, stable id)."""
-    return _PREC["kinv"] @ r_blk
+def stiffness_precond(v):
+    """Static response K^{-1} r, vector convention (the solver vmaps it
+    over residual blocks) — module-level (jit-static, stable id)."""
+    return _PREC["kinv"] @ v
 
 
 def main():

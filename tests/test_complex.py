@@ -206,3 +206,41 @@ def test_complex_nonsymmetric_cgnr_solver_grads():
             fn, (t,), (jnp.float64(1.0),))[1]):
         g = mode(lambda t: f(t, "cgnr"))(t0)
         np.testing.assert_allclose(g, num, rtol=2e-4)
+
+
+def test_complex_phase_sensitive_eigenvector_gradients():
+    """Pivot-phase gauge tangents: gradients of PHASE-SENSITIVE
+    functionals (Im/Re of individual components) must match FD for
+    complex Hermitian operators — the raw IFT tangent satisfies the
+    normalization constraint but not the forward's pivot-phase gauge
+    (regression: 11% error before the _pivot_phase_project shift)."""
+    from dominantsparseeigenad_tpu import (dominant_eigh,
+                                           dominant_eigh_multi)
+
+    rng = np.random.default_rng(4)
+    n = 32
+    h = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    a = (h + h.conj().T) / 2 + np.diag(np.arange(1.0, n + 1))
+    pert = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    pert = (pert + pert.conj().T) / 2
+    aj, pj = jnp.asarray(a), jnp.asarray(pert)
+
+    def check(f, rtol=2e-5):
+        g = float(jax.grad(f)(jnp.float64(0.0)))
+        eps = 1e-5
+        fd = (float(f(jnp.float64(eps)))
+              - float(f(jnp.float64(-eps)))) / (2 * eps)
+        np.testing.assert_allclose(g, fd, rtol=rtol)
+
+    def f_single(t):
+        _, v = dominant_eigh(DenseOperator(aj + t * pj), k=n,
+                             extreme="min", tol=1e-12)
+        return jnp.imag(v[5]) + jnp.real(v[3])
+
+    def f_multi(t):
+        _, v = dominant_eigh_multi(DenseOperator(aj + t * pj), r=2, k=n,
+                                   tol=1e-12)
+        return jnp.imag(v[5, 0]) + jnp.real(v[7, 1])
+
+    check(f_single)
+    check(f_multi)

@@ -62,8 +62,8 @@ def test_gradients_both_operators_match_fd():
     a, b = _pencil(n, seed=1)
     dinv = jnp.asarray(1.0 / (np.diag(a) + 2.0))
 
-    def prec(R):
-        return dinv[:, None] * R
+    def prec(v):  # VECTOR convention (mirrors dominant_eigh_multi)
+        return dinv * v
 
     def f(am, bm):
         ls, vv = dominant_eigh_gen(DenseOperator((am + am.T) / 2),
@@ -92,8 +92,8 @@ def test_order2_grads():
     aj, bj = jnp.asarray(a), jnp.asarray(b)
     dinv = jnp.asarray(1.0 / (np.diag(a) + 1.0))
 
-    def prec(R):
-        return dinv[:, None] * R
+    def prec(v):  # VECTOR convention
+        return dinv * v
 
     def fa(am):
         ls, vv = dominant_eigh_gen(DenseOperator((am + am.T) / 2),
@@ -155,3 +155,29 @@ def test_complex_hermitian_pencil():
     np.testing.assert_allclose(lams, ew[:r], rtol=1e-9)
     gram = np.asarray(v).conj().T @ b @ np.asarray(v)
     np.testing.assert_allclose(gram, np.eye(r), atol=1e-9)
+
+
+def test_complex_pencil_phase_sensitive_gradient():
+    """Phase-sensitive gradient of the complex pencil matches FD
+    (regression: the tangent lacked the pivot-phase gauge shift)."""
+    rng = np.random.default_rng(4)
+    n = 32
+    h = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    a = (h + h.conj().T) / 2 + np.diag(np.arange(1.0, n + 1))
+    c = rng.standard_normal((n, n)) / np.sqrt(4 * n)
+    bm = jnp.asarray(c @ c.T + np.eye(n), np.complex128)
+    pert = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    pert = (pert + pert.conj().T) / 2
+    aj, pj = jnp.asarray(a), jnp.asarray(pert)
+
+    def f(t):
+        _, v = dominant_eigh_gen(DenseOperator(aj + t * pj),
+                                 DenseOperator(bm), r=2, maxiter=400,
+                                 tol=1e-12)
+        return jnp.imag(v[5, 0])
+
+    g = float(jax.grad(f)(jnp.float64(0.0)))
+    eps = 1e-5
+    fd = (float(f(jnp.float64(eps)))
+          - float(f(jnp.float64(-eps)))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=2e-5)

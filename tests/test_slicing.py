@@ -228,3 +228,25 @@ def test_trace_function_and_logdet():
     fd = (float(z(jnp.float64(0.3 + eps)))
           - float(z(jnp.float64(0.3 - eps)))) / (2 * eps)
     np.testing.assert_allclose(d, fd, rtol=1e-7)
+
+
+def test_logdet_tight_bounds_interpolation_exact():
+    """With the residual-certified auto-bounds, the only logdet error is
+    Hutchinson trace noise: the estimate must land within the
+    ~||ln A||_F sqrt(2/s) noise scale of the truth even for a
+    cancellation-dominated Tr ln A (regression: the old padded+clamped
+    enclosure put the interval edge at ~0 and biased the interpolation
+    itself by >10%)."""
+    from dominantsparseeigenad_tpu import logdet
+
+    rng = np.random.default_rng(2)
+    n = 300
+    c = rng.standard_normal((n, n)) / np.sqrt(n)
+    spd = c @ c.T + 0.3 * np.eye(n)
+    ew = np.linalg.eigh(spd)[0]
+    ld_true = np.log(ew).sum()
+    noise_scale = np.sqrt(2.0 / 64) * np.linalg.norm(np.log(ew))
+    ld = float(logdet(DenseOperator(jnp.asarray(spd)), degree=160,
+                      n_probe=64))
+    assert abs(ld - ld_true) < 3.0 * noise_scale, (ld, ld_true,
+                                                   noise_scale)
