@@ -71,18 +71,28 @@ def _colnormalize(blocks):
     return tuple(b * scl[None, :] for b in blocks)
 
 
-def _whiten(S, AS, drop_tol):
-    """Orthonormalize the columns of ``S`` by Gram whitening, applying the
-    same transform to ``AS``; near-dependent directions are dropped by
-    masking (columns zeroed, mask returned) instead of shrinking shapes."""
-    g = _mm(S.conj().T, S)
+def _whiten_metric(S, MS, companions, drop_tol):
+    """Orthonormalize the columns of ``S`` in the metric whose image is
+    ``MS`` (Euclidean: MS = S; B-metric: MS = B S) by Gram whitening,
+    applying the same linear transform to every companion block;
+    near-dependent directions are dropped by masking (columns zeroed,
+    mask returned) instead of shrinking shapes.  ONE definition of the
+    numerically subtle part shared by the standard and the generalized
+    loop."""
+    g = _mm(S.conj().T, MS)
     g = 0.5 * (g + g.conj().T)
     d, u = jnp.linalg.eigh(g)
     keep = d > drop_tol * jnp.maximum(d[-1], jnp.finfo(d.dtype).tiny)
     scale = jnp.where(keep, lax.rsqrt(jnp.maximum(d, jnp.finfo(d.dtype).tiny)),
                       0.0).astype(S.dtype)
     t = u * scale[None, :]
-    return _mm(S, t), _mm(AS, t), keep
+    return tuple(_mm(c, t) for c in companions), keep
+
+
+def _whiten(S, AS, drop_tol):
+    """Euclidean-metric whitening of ``(S, AS)``."""
+    (so, aso), keep = _whiten_metric(S, S, (S, AS), drop_tol)
+    return so, aso, keep
 
 
 def _rayleigh_ritz(So, ASo, keep, r):
@@ -260,15 +270,10 @@ def lobpcg_eigh_general(a, b, r: int = 4, *, extreme: str = "min",
         return sign * a.matmat(X)
 
     def _whiten_b(S, AS, BS):
-        # B-metric whitening: G = S^H B S; keeps AS/BS consistent.
-        g = _mm(S.conj().T, BS)
-        g = 0.5 * (g + g.conj().T)
-        d, u = jnp.linalg.eigh(g)
-        keep = d > drop_tol * jnp.maximum(d[-1], jnp.finfo(d.dtype).tiny)
-        scale = jnp.where(keep, lax.rsqrt(
-            jnp.maximum(d, jnp.finfo(d.dtype).tiny)), 0.0).astype(S.dtype)
-        t = u * scale[None, :]
-        return _mm(S, t), _mm(AS, t), _mm(BS, t), keep
+        # B-metric whitening: G = S^H (B S); same shared core.
+        (so, aso, bso), keep = _whiten_metric(S, BS, (S, AS, BS),
+                                              drop_tol)
+        return so, aso, bso, keep
 
     x0 = jax.random.normal(key, (n, r), real_dtype).astype(dtype)
     # B(S t) = (B S) t, so the transformed B-block returned by the
