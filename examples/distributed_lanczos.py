@@ -12,6 +12,11 @@ with virtual devices:
 import argparse
 import os
 
+import sys
+# Examples are runnable from a source checkout without installation:
+# put the repo root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 

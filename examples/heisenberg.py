@@ -21,6 +21,11 @@ jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 
+import sys
+# Examples are runnable from a source checkout without installation:
+# put the repo root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from dominantsparseeigenad_tpu.models import heisenberg_ground_energy
 from dominantsparseeigenad_tpu.utils import JsonlLogger
 

@@ -18,6 +18,11 @@ import jax.numpy as jnp
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+import sys
+# Examples are runnable from a source checkout without installation:
+# put the repo root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from dominantsparseeigenad_tpu.models import (
     ising_observables, onsager_free_energy)
 from dominantsparseeigenad_tpu.utils import JsonlLogger

@@ -22,6 +22,11 @@ _plat = os.environ.get("JAX_PLATFORMS", "")
 jax.config.update("jax_platforms", "cpu" if _plat in ("", "axon") else _plat)
 jax.config.update("jax_enable_x64", True)
 
+import sys
+# Examples are runnable from a source checkout without installation:
+# put the repo root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from dominantsparseeigenad_tpu import dominant_eigh, spectral_function
 from dominantsparseeigenad_tpu.models import tfim_operator
 from dominantsparseeigenad_tpu.models.tfim import flip_sum

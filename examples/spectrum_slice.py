@@ -23,6 +23,11 @@ jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 
+import sys
+# Examples are runnable from a source checkout without installation:
+# put the repo root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from dominantsparseeigenad_tpu import (dominant_eigh, spectral_bounds,
                                        spectral_density, spectral_slice)
 from dominantsparseeigenad_tpu.models import tfim_operator

@@ -25,6 +25,11 @@ _plat = os.environ.get("JAX_PLATFORMS", "")
 jax.config.update("jax_platforms", "cpu" if _plat in ("", "axon") else _plat)
 jax.config.update("jax_enable_x64", True)
 
+import sys
+# Examples are runnable from a source checkout without installation:
+# put the repo root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from dominantsparseeigenad_tpu import DenseOperator, dominant_eigh
 from dominantsparseeigenad_tpu.models import (
     tfim_dense_hamiltonian, tfim_exact_e0)

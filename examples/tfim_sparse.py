@@ -13,6 +13,11 @@ Run: python examples/tfim_sparse.py --n 16 --points 21
 import argparse
 import os
 
+import sys
+# Examples are runnable from a source checkout without installation:
+# put the repo root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 

@@ -24,6 +24,11 @@ jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 
+import sys
+# Examples are runnable from a source checkout without installation:
+# put the repo root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from dominantsparseeigenad_tpu.models import (
     correlation_length, ctmrg_environment, transfer_operator)
 from dominantsparseeigenad_tpu.ops.eig import dominant_eig_multi

@@ -34,6 +34,10 @@ def test_example_runs_clean(script, args):
     # The examples pick their own platform (CPU for f64 validation); make
     # sure the test harness's own pinning doesn't leak in.
     env.pop("JAX_PLATFORMS", None)
+    # The package is used from a source checkout (not installed); the
+    # examples bootstrap sys.path themselves, but keep the subprocess
+    # robust even if that ever regresses.
+    env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(
         [sys.executable, os.path.join(_ROOT, "examples", script), *args],
         capture_output=True, text=True, timeout=420, cwd=_ROOT, env=env)
