@@ -72,10 +72,17 @@ def bench_jax():
     def observables(g):
         def ground(g):
             op = tfim_operator(N_SPINS, g, dtype=dtype)
+            # bf16 basis storage: the (k+1, 2^20) reorth history is the
+            # run's dominant HBM traffic; storing it in bf16 (recurrence
+            # and Ritz values stay f32; the Ritz vector gets one Newton
+            # polish) cut the measured headline 69 -> 58 ms on-chip.
+            # Accuracy is unchanged at the asserted tolerances (E0
+            # 2.4e-6 rel vs Jordan-Wigner; chi_F moves 1.2e-4 rel).
             return dominant_eigh(op, k=K_LANCZOS, extreme="min",
                                  tol=CG_TOL, maxiter=CG_MAXITER,
                                  reorth_passes=REORTH_PASSES,
-                                 reorth_chunks=REORTH_CHUNKS)
+                                 reorth_chunks=REORTH_CHUNKS,
+                                 basis_dtype=jnp.bfloat16)
 
         # One jvp: dE0/dg and dpsi/dg (one forward + one deflated CG).
         (lam, v), (dlam, dv) = jax.jvp(

@@ -58,6 +58,12 @@ class EighOptions:
     reorth_chunks: int = 0
     restart_cycles: int = 0
     early_exit_tol: float | None = None
+    # Storage dtype NAME ("bfloat16") for the Lanczos basis history, or
+    # None for the operator's dtype — halves the dominant reorth HBM
+    # traffic; the reconstructed Ritz vector is then polished by one
+    # Newton step of refine_eigenpair (see _forward).  A string so the
+    # frozen dataclass stays hashable/comparable for jit staticness.
+    basis_dtype: str | None = None
     # Optional SPD approximate inverse z = M^{-1} r applied inside the
     # deflated tangent solves (projected to span(V)^perp by cg).  Static
     # aux data: hashed by identity, so pass a stable callable (module
@@ -117,10 +123,35 @@ def _forward(op, extreme: str, opts: EighOptions):
                                      reorthogonalize=opts.reorthogonalize,
                                      reorth_passes=opts.reorth_passes)
         return lam, v
-    return lanczos_eigh(op, k, extreme=extreme, key=key,
-                        reorthogonalize=opts.reorthogonalize,
-                        reorth_passes=opts.reorth_passes,
-                        reorth_chunks=opts.reorth_chunks)
+    out = lanczos_eigh(op, k, extreme=extreme, key=key,
+                       reorthogonalize=opts.reorthogonalize,
+                       reorth_passes=opts.reorth_passes,
+                       reorth_chunks=opts.reorth_chunks,
+                       basis_dtype=opts.basis_dtype)
+    if opts.basis_dtype is None or \
+            jnp.dtype(opts.basis_dtype) == jnp.dtype(op.dtype):
+        return out
+    # Narrowed basis storage: the reconstructed Ritz vector carries the
+    # storage rounding (~eps_bf16/sqrt(3) ≈ 4e-3 in norm).  One Newton
+    # polish — Rayleigh quotient + one deflated solve against the
+    # full-precision operator — restores working-precision accuracy at a
+    # few matvecs' cost (quadratic convergence: 4e-3 -> ~1e-6 residual,
+    # then the IFT tangents inherit the clean pair).  Re-gauge afterwards:
+    # refine_eigenpair normalizes but does not re-apply the pivot phase.
+    def _polish(lam, v, def_sign):
+        lam, v = refine_eigenpair(op, lam, v, iters=1, tol=opts.tol,
+                                  maxiter=opts.maxiter,
+                                  definite_sign=def_sign)
+        pivot = v[jnp.argmax(jnp.abs(v))]
+        return lam, v * jnp.conj(jnp.sign(pivot))
+
+    if extreme == "both":
+        lmin, vmin, lmax, vmax = out
+        lmin, vmin = _polish(lmin, vmin, +1.0)
+        lmax, vmax = _polish(lmax, vmax, -1.0)
+        return lmin, vmin, lmax, vmax
+    lam, v = out
+    return _polish(lam, v, +1.0 if extreme == "min" else -1.0)
 
 
 def _forward_info(op, extreme: str, opts: EighOptions):
@@ -432,7 +463,8 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
                   reorth_passes: int = 2, reorth_chunks: int = 0,
                   restart_cycles: int = 0,
                   early_exit_tol: float | None = None,
-                  with_info: bool = False, precond=None):
+                  with_info: bool = False, precond=None,
+                  basis_dtype=None):
     """Extremal eigenpair(s) of a symmetric operator, differentiable to all
     orders w.r.t. the operator's pytree parameters.
 
@@ -466,6 +498,14 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
               callable (module function or a partial the caller keeps
               alive): it rides in the jit-static config, keyed by
               identity.
+    basis_dtype : storage dtype for the Lanczos basis history (e.g.
+              ``jnp.bfloat16`` on an f32 operator) — halves the dominant
+              reorthogonalization HBM traffic; the eigenvalue comes from
+              the full-precision tridiagonal, and the eigenvector is
+              polished back to working precision by ONE Newton step of
+              :func:`refine_eigenpair` (a few extra matvecs).  Intended
+              for the large-N bandwidth-bound regime (N ≳ 10^5); real
+              dtypes only, plain fixed-k forward only.
     with_info : also return a :class:`~.lanczos.LanczosInfo` convergence
               report (effective k, Ritz residual, converged flag — zero
               tangents, so it composes with jvp/grad).  Without
@@ -491,6 +531,11 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
     if (with_info or early_exit_tol is not None) and extreme == "both":
         raise ValueError("with_info/early_exit_tol require extreme='min' "
                          "or 'max'")
+    if basis_dtype is not None and (restart_cycles
+                                    or early_exit_tol is not None):
+        raise ValueError("basis_dtype is only implemented for the plain "
+                         "fixed-k forward (it would be silently ignored "
+                         "with restart_cycles/early_exit_tol)")
     opts = EighOptions(k=int(k), tol=float(tol),
                        maxiter=None if maxiter is None else int(maxiter),
                        seed=int(seed), reorthogonalize=bool(reorthogonalize),
@@ -498,7 +543,9 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
                        reorth_chunks=int(reorth_chunks),
                        restart_cycles=int(restart_cycles),
                        early_exit_tol=None if early_exit_tol is None
-                       else float(early_exit_tol), precond=precond)
+                       else float(early_exit_tol), precond=precond,
+                       basis_dtype=None if basis_dtype is None
+                       else jnp.dtype(basis_dtype).name)
     if with_info:
         return _dominant_eigh_info(op, extreme, opts)
     return _dominant_eigh(op, extreme, opts)

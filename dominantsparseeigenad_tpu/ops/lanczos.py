@@ -100,6 +100,29 @@ def _tridiagonal(alphas: jax.Array, betas: jax.Array) -> jax.Array:
     return t
 
 
+def _project_out(basis, w):
+    """``w - Q Q^H w`` against the rows of ``basis`` (zero rows are inert).
+
+    When the basis is stored in a narrower dtype than ``w`` (see
+    ``lanczos(..., basis_dtype=...)``) the two GEMMs take the narrow
+    operands directly with ``preferred_element_type`` accumulation in
+    ``w``'s dtype — the MXU accumulates bf16 inputs in f32 natively, so
+    this halves the projection's HBM traffic without materializing a
+    widened copy of the basis (which would cost the traffic right back).
+    Rounding ``w``/the coefficients to bf16 for the MXU inputs perturbs
+    each projection coefficient by ~eps_bf16·||w||/sqrt(3N) (independent
+    rounding errors average out over the N-length dots), far below the
+    sqrt(eps_f32) semi-orthogonality target at large N — see
+    ``basis_dtype`` in :func:`lanczos`.
+    """
+    if basis.dtype == w.dtype:
+        return w - _mm(basis.T, _mm(basis.conj(), w))
+    coeffs = jnp.matmul(basis.conj(), w.astype(basis.dtype),
+                        preferred_element_type=w.dtype)
+    return w - jnp.matmul(basis.T, coeffs.astype(basis.dtype),
+                          preferred_element_type=w.dtype)
+
+
 def _project_out_chunked(basis, w, i, block):
     """``w - Q Q^H w`` reading only the chunks of ``basis`` written so far.
 
@@ -119,7 +142,7 @@ def _project_out_chunked(basis, w, i, block):
     def body(c, w):
         blk = lax.dynamic_slice(basis, (c * block, 0),
                                 (block, basis.shape[1]))
-        return w - _mm(blk.T, _mm(blk.conj(), w))
+        return _project_out(blk, w)
 
     # Chunks 0 .. i//block cover all written rows 0..i (row i+1 is not
     # written yet at projection time); the tail of the last chunk is
@@ -136,7 +159,10 @@ def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
     rows > i zero; breakdown restarts with a fresh orthonormalized vector.
     """
     n = basis.shape[1]
-    dtype = basis.dtype
+    # Compute dtype comes from the carried vector, NOT the stored basis —
+    # with basis_dtype=bf16 the three-term recurrence (q, alphas, betas)
+    # stays in the operator's precision; only the reorth history narrows.
+    dtype = q.dtype
 
     with jax.named_scope("lanczos_matvec"):
         w = op.matvec(q)
@@ -155,7 +181,7 @@ def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
                 if reorth_block:
                     w = _project_out_chunked(basis, w, i, reorth_block)
                 else:
-                    w = w - _mm(basis.T, _mm(basis.conj(), w))
+                    w = _project_out(basis, w)
     beta = jnp.linalg.norm(w).astype(real_dtype)
 
     # Breakdown: restart with a fresh vector orthogonal to the basis.
@@ -165,7 +191,7 @@ def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
     def restart(_):
         r = jax.random.normal(jax.random.fold_in(key, i), (n,),
                               dtype=dtype)
-        r = r - _mm(basis.T, _mm(basis.conj(), r))
+        r = _project_out(basis, r)
         return r / (jnp.linalg.norm(r) + jnp.finfo(dtype).tiny)
 
     def advance(_):
@@ -173,7 +199,7 @@ def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
 
     q_next = lax.cond(broke, restart, advance, None)
     beta_out = jnp.where(broke, jnp.zeros_like(beta), beta)
-    basis = basis.at[i + 1].set(q_next)
+    basis = basis.at[i + 1].set(q_next.astype(basis.dtype))
     return basis, q_next, beta_out, alpha
 
 
@@ -181,7 +207,8 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
             key: jax.Array | None = None,
             reorthogonalize: bool = True,
             reorth_passes: int = 2,
-            reorth_chunks: int = 0) -> LanczosResult:
+            reorth_chunks: int = 0,
+            basis_dtype=None) -> LanczosResult:
     """Run k steps of Lanczos on a symmetric operator.
 
     Parameters
@@ -205,10 +232,31 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
           is the dominant wall-time term at large k (the basis no longer
           fits in VMEM, so every step streams it from HBM).  Numerically
           identical up to f.p. reassociation of the projection sums.
+    basis_dtype : storage dtype for the (k+1, N) basis history — the
+          run's dominant HBM traffic.  ``jnp.bfloat16`` on an f32 operator
+          halves reorthogonalization read/write bytes; the three-term
+          recurrence (q, alphas, betas — everything the Ritz VALUES come
+          from) stays in the operator's dtype, and the projections
+          accumulate in it on the MXU (see ``_project_out``).  Rounding
+          the stored history costs (a) reorth quality
+          ~eps_bf16·sqrt(k/3N) — far below the sqrt(eps_f32)
+          semi-orthogonality bar for N ≳ 10^5 — and (b) ~eps_bf16/sqrt(3)
+          ≈ 4e-3 error in the RECONSTRUCTED Ritz vector Q y, which
+          callers must polish (``dominant_eigh(basis_dtype=...)`` runs
+          one Newton step of :func:`~.eigh.refine_eigenpair`
+          automatically).  Real dtypes only; intended for the large-N
+          bandwidth-bound regime.
     """
     op = as_operator(op)
     n, dtype = op.dim, op.dtype
     real_dtype = jnp.finfo(dtype).dtype  # f64 for c128, f32 for c64
+    if basis_dtype is None:
+        basis_dtype = dtype
+    else:
+        basis_dtype = jnp.dtype(basis_dtype)
+        if jnp.issubdtype(dtype, jnp.complexfloating):
+            raise ValueError("basis_dtype is only supported for real "
+                             "operators (no complex bf16 on TPU)")
     if key is None:
         key = jax.random.PRNGKey(0)
     k = int(k)
@@ -239,7 +287,8 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
         rows = block * reorth_chunks
     else:
         block, rows = 0, k + 1
-    basis0 = jnp.zeros((rows, n), dtype=dtype).at[0].set(q0)
+    basis0 = jnp.zeros((rows, n), dtype=basis_dtype).at[0].set(
+        q0.astype(basis_dtype))
 
     def step(carry, i):
         basis, q, q_prev, beta_prev = carry
@@ -263,12 +312,20 @@ def lanczos_eigh(op, k: int, *, extreme: str = "both",
                  key: jax.Array | None = None,
                  reorthogonalize: bool = True,
                  reorth_passes: int = 2,
-                 reorth_chunks: int = 0):
+                 reorth_chunks: int = 0,
+                 basis_dtype=None):
     """Extremal eigenpair(s) of a symmetric operator via k-step Lanczos.
 
     Functional equivalent of the reference's ``symeigLanczos(A, k, extreme,
     sparse, dim)`` (reference ``Lanczos.py``) — the dense/sparse flag is
     subsumed by the operator type, and ``dim`` by ``op.dim``.
+
+    With ``basis_dtype`` narrower than the operator dtype the returned
+    eigenVALUE keeps full working precision (it comes from the exactly-
+    accumulated tridiagonal) but the eigenVECTOR carries the storage
+    rounding (~eps_bf16/sqrt(3)); polish it with
+    :func:`~.eigh.refine_eigenpair` — or use
+    ``dominant_eigh(basis_dtype=...)``, which does so automatically.
 
     Returns
     -------
@@ -278,14 +335,22 @@ def lanczos_eigh(op, k: int, *, extreme: str = "both",
     """
     if extreme not in ("min", "max", "both"):
         raise ValueError(f"extreme must be min|max|both, got {extreme!r}")
+    op = as_operator(op)
     res = lanczos(op, k, v0=v0, key=key, reorthogonalize=reorthogonalize,
-                  reorth_passes=reorth_passes, reorth_chunks=reorth_chunks)
+                  reorth_passes=reorth_passes, reorth_chunks=reorth_chunks,
+                  basis_dtype=basis_dtype)
     t = _tridiagonal(res.alphas, res.betas)
     evals, evecs = jnp.linalg.eigh(t)
 
     def _pair(idx):
         lam = evals[idx]
-        v = _mm(res.basis, evecs[:, idx].astype(res.basis.dtype))
+        # Ritz-vector reconstruction v = Q y.  With a narrowed basis the
+        # MXU takes the bf16 operands and accumulates in the operator's
+        # dtype; the result still carries the basis STORAGE rounding
+        # (~eps_bf16/sqrt(3)) — see the docstring.
+        y = evecs[:, idx].astype(res.basis.dtype)
+        v = jnp.matmul(res.basis, y, preferred_element_type=op.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         v = v / jnp.linalg.norm(v)
         # Phase/sign gauge: make the largest-magnitude entry real positive
         # (deterministic across runs/backends; for real dtypes this is the

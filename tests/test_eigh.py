@@ -9,6 +9,7 @@ matrix-free path against the dense path.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.test_util import check_grads
 
 from dominantsparseeigenad_tpu import (
@@ -216,3 +217,55 @@ def test_dominant_eigh_preconditioned_gradients():
     _, it_pc, _ = solve_deflated_info(DenseOperator(h0), lam, v, b,
                                       tol=1e-10, precond=jacobi)
     assert float(it_pc) < 0.7 * float(it_plain)
+
+
+def test_bf16_basis_storage_matches_f32():
+    """basis_dtype=bf16: the narrowed reorth history + one-Newton polish
+    reproduces the full-f32 eigenpair and its first/second derivatives.
+    The eigenVALUE comes from the full-precision tridiagonal and the
+    polished eigenVECTOR from a working-precision deflated solve, so
+    everything downstream (IFT tangents, chi_F) holds f32 accuracy while
+    the dominant HBM traffic is halved (the headline-bench win)."""
+    from dominantsparseeigenad_tpu.models import tfim_operator
+
+    n = 10
+
+    def ground(g, **kw):
+        op = tfim_operator(n, g, dtype=jnp.float32)
+        return dominant_eigh(op, k=30, extreme="min", tol=1e-6, **kw)
+
+    def obs(g, **kw):
+        (lam, v), (dlam, dv) = jax.jvp(lambda g: ground(g, **kw), (g,),
+                                       (jnp.float32(1.0),))
+        return jnp.stack([lam, dlam, jnp.vdot(dv, dv)])
+
+    g = jnp.float32(1.2)
+    ref = np.asarray(jax.jit(obs)(g))
+    got = np.asarray(jax.jit(
+        lambda g: obs(g, basis_dtype=jnp.bfloat16))(g))
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-6)   # E0
+    np.testing.assert_allclose(got[1], ref[1], rtol=1e-4)   # dE0/dg
+    np.testing.assert_allclose(got[2], ref[2], rtol=1e-3)   # chi_F
+
+    # The polished pair is a genuine eigenpair at working precision.
+    lam, v = jax.jit(
+        lambda g: ground(g, basis_dtype=jnp.bfloat16))(g)
+    op = tfim_operator(n, g, dtype=jnp.float32)
+    resid = float(jnp.linalg.norm(op.matvec(v) - lam * v)
+                  / jnp.abs(lam))
+    assert resid < 1e-5, resid
+    # And the gauge survives the polish: pivot entry real positive.
+    assert float(v[int(jnp.argmax(jnp.abs(v)))]) > 0
+
+
+def test_bf16_basis_storage_guards():
+    from dominantsparseeigenad_tpu.models import tfim_operator
+    from dominantsparseeigenad_tpu.ops.lanczos import lanczos
+
+    op = tfim_operator(6, 1.0, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="fixed-k"):
+        dominant_eigh(op, k=10, basis_dtype=jnp.bfloat16,
+                      early_exit_tol=1e-4)
+    cop = DenseOperator(jnp.eye(8, dtype=jnp.complex64))
+    with pytest.raises(ValueError, match="real"):
+        lanczos(cop, 4, basis_dtype=jnp.bfloat16)
