@@ -254,7 +254,11 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
         basis_dtype = dtype
     else:
         basis_dtype = jnp.dtype(basis_dtype)
-        if jnp.issubdtype(dtype, jnp.complexfloating):
+        # Requesting the operator's own dtype is a harmless no-op (the
+        # equal-dtype short-circuit eigh._forward also supports), so only
+        # a genuine NARROWING of a complex basis is rejected.
+        if (basis_dtype != jnp.dtype(dtype)
+                and jnp.issubdtype(dtype, jnp.complexfloating)):
             raise ValueError("basis_dtype is only supported for real "
                              "operators (no complex bf16 on TPU)")
     if key is None:

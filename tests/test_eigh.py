@@ -219,37 +219,56 @@ def test_dominant_eigh_preconditioned_gradients():
     assert float(it_pc) < 0.7 * float(it_plain)
 
 
-def test_bf16_basis_storage_matches_f32():
+@pytest.mark.parametrize("reorth_chunks,reorth_passes",
+                         [(0, 2), (4, 1)])  # (4, 1) = the bench.py config
+def test_bf16_basis_storage_matches_f32(reorth_chunks, reorth_passes):
     """basis_dtype=bf16: the narrowed reorth history + one-Newton polish
-    reproduces the full-f32 eigenpair and its first/second derivatives.
-    The eigenVALUE comes from the full-precision tridiagonal and the
-    polished eigenVECTOR from a working-precision deflated solve, so
-    everything downstream (IFT tangents, chi_F) holds f32 accuracy while
-    the dominant HBM traffic is halved (the headline-bench win)."""
+    holds (at least) full-f32 accuracy for the eigenpair and its
+    first/second derivatives.  Both paths are judged against an f64
+    ground truth — NOT against each other: the bf16+polish result is in
+    fact ~10x CLOSER to truth on dE0/dg (measured 1.9e-5 vs plain f32's
+    1.9e-4 — the polish removes Krylov noise the plain path keeps), so a
+    bf16-vs-f32 comparison at f32's own error scale would be testing the
+    agreement of two approximations at a tolerance tighter than the
+    reference's error.  The eigenVALUE comes from the full-precision
+    tridiagonal and the polished eigenVECTOR from a working-precision
+    deflated solve, so everything downstream (IFT tangents, chi_F) holds
+    f32 accuracy while the dominant HBM traffic is halved (the
+    headline-bench win)."""
     from dominantsparseeigenad_tpu.models import tfim_operator
 
     n = 10
+    kw = dict(reorth_chunks=reorth_chunks, reorth_passes=reorth_passes)
 
-    def ground(g, **kw):
-        op = tfim_operator(n, g, dtype=jnp.float32)
-        return dominant_eigh(op, k=30, extreme="min", tol=1e-6, **kw)
+    def obs(gval, dtype, tol, **extra):
+        def ground(g):
+            op = tfim_operator(n, g, dtype=dtype)
+            return dominant_eigh(op, k=30, extreme="min", tol=tol, **extra)
+        (lam, v), (dlam, dv) = jax.jvp(
+            jax.jit(ground), (jnp.asarray(gval, dtype),),
+            (jnp.asarray(1.0, dtype),))
+        return np.asarray(jnp.stack([lam, dlam, jnp.vdot(dv, dv)]),
+                          np.float64)
 
-    def obs(g, **kw):
-        (lam, v), (dlam, dv) = jax.jvp(lambda g: ground(g, **kw), (g,),
-                                       (jnp.float32(1.0),))
-        return jnp.stack([lam, dlam, jnp.vdot(dv, dv)])
+    truth = obs(1.2, jnp.float64, 1e-12)
+    f32 = obs(1.2, jnp.float32, 1e-6, **kw)
+    b16 = obs(1.2, jnp.float32, 1e-6, basis_dtype=jnp.bfloat16, **kw)
 
-    g = jnp.float32(1.2)
-    ref = np.asarray(jax.jit(obs)(g))
-    got = np.asarray(jax.jit(
-        lambda g: obs(g, basis_dtype=jnp.bfloat16))(g))
-    np.testing.assert_allclose(got[0], ref[0], rtol=2e-6)   # E0
-    np.testing.assert_allclose(got[1], ref[1], rtol=1e-4)   # dE0/dg
-    np.testing.assert_allclose(got[2], ref[2], rtol=1e-3)   # chi_F
+    # Plain-f32 error budget (measured ~1.5e-6 / 1.9e-4 / 5.4e-4; asserted
+    # at ~5x margin) — this is the bar "matches f32" means.
+    np.testing.assert_allclose(f32[0], truth[0], rtol=1e-5)   # E0
+    np.testing.assert_allclose(f32[1], truth[1], rtol=1e-3)   # dE0/dg
+    np.testing.assert_allclose(f32[2], truth[2], rtol=3e-3)   # chi_F
+    # bf16 basis + polish beats it (measured ~1.4e-6 / 1.9e-5 / 1.5e-4).
+    np.testing.assert_allclose(b16[0], truth[0], rtol=1e-5)   # E0
+    np.testing.assert_allclose(b16[1], truth[1], rtol=1e-4)   # dE0/dg
+    np.testing.assert_allclose(b16[2], truth[2], rtol=1e-3)   # chi_F
 
     # The polished pair is a genuine eigenpair at working precision.
-    lam, v = jax.jit(
-        lambda g: ground(g, basis_dtype=jnp.bfloat16))(g)
+    g = jnp.float32(1.2)
+    lam, v = jax.jit(lambda g: dominant_eigh(
+        tfim_operator(n, g, dtype=jnp.float32), k=30, extreme="min",
+        tol=1e-6, basis_dtype=jnp.bfloat16, **kw))(g)
     op = tfim_operator(n, g, dtype=jnp.float32)
     resid = float(jnp.linalg.norm(op.matvec(v) - lam * v)
                   / jnp.abs(lam))
@@ -269,3 +288,7 @@ def test_bf16_basis_storage_guards():
     cop = DenseOperator(jnp.eye(8, dtype=jnp.complex64))
     with pytest.raises(ValueError, match="real"):
         lanczos(cop, 4, basis_dtype=jnp.bfloat16)
+    # Requesting the operator's own dtype is a harmless no-op, even for a
+    # complex operator (only a genuine narrowing is rejected).
+    res = lanczos(cop, 4, basis_dtype=jnp.complex64)
+    assert res.basis.dtype == jnp.complex64
