@@ -61,11 +61,23 @@ class EigOptions:
 class PowerInfo(NamedTuple):
     """Convergence report of the two-sided power iteration (all float
     scalars — zero tangents through ``custom_jvp``, like
-    :class:`~.lanczos.LanczosInfo`)."""
+    :class:`~.lanczos.LanczosInfo`).
+
+    ``rank1_defect`` guards the Perron assumption (dominant eigenvalue
+    real and simple) at the public surface: for ``method="arnoldi"`` it
+    is σ₂/σ₁ of the repeatedly-squared Hessenberg block (max over the
+    left/right sweeps) — ~0 when the power collapsed to the rank-1 outer
+    product of a simple real dominant pair, O(1) when a complex
+    conjugate pair or a degenerate cluster dominates and the extracted
+    Ritz vector is NOT trustworthy.  For ``method="power"`` it is 0 by
+    construction (the defect is not measured; a complex dominant pair
+    there surfaces as ``converged == 0`` — the residual oscillates and
+    never meets tolerance)."""
 
     iterations: jax.Array
     residual: jax.Array
     converged: jax.Array
+    rank1_defect: jax.Array
 
 
 def _arnoldi_ritz_vector(mv, n, k, key, dtype):
@@ -85,7 +97,12 @@ def _arnoldi_ritz_vector(mv, n, k, key, dtype):
     (pure_callback is UNIMPLEMENTED on axon PJRT), so an eig-on-host
     round-trip is not an option; squaring is fully jittable, vmappable,
     and MXU work.  Assumes the Perron setting (dominant eigenvalue
-    real, simple) like the surrounding solver.
+    real, simple) like the surrounding solver — and MEASURES that
+    assumption: the second return value is σ₂/σ₁ of the collapsed
+    power, ~0 for a clean rank-1 collapse, O(1) when a complex pair or
+    degenerate cluster dominates (the squared iterates then live in a
+    ≥2-dimensional invariant subspace and never collapse).  Callers
+    surface it as :class:`PowerInfo.rank1_defect`.
     """
     from .lanczos import arnoldi_step
 
@@ -116,7 +133,10 @@ def _arnoldi_ritz_vector(mv, n, k, key, dtype):
     y = mp[:, j_best]
     y = y / jnp.maximum(jnp.linalg.norm(y), tiny)
     v = _mm(basis[:k].T, y)
-    return v / jnp.maximum(jnp.linalg.norm(v), tiny)
+    # Perron guard: a (k, k) SVD is cheap and jittable; see docstring.
+    s = jnp.linalg.svd(mp, compute_uv=False)
+    defect = (s[1] / jnp.maximum(s[0], tiny)).astype(real_dtype)
+    return v / jnp.maximum(jnp.linalg.norm(v), tiny), defect
 
 
 def _power_pair(op, opts: EigOptions):
@@ -140,13 +160,16 @@ def _power_pair(op, opts: EigOptions):
         # Krylov-accelerated start: the residual-stopped loop below then
         # only polishes (and certifies, via PowerInfo) the Ritz vectors.
         k = max(2, min(opts.arnoldi_k, n))
-        r0 = _arnoldi_ritz_vector(op.matvec, n, k, kr, dtype)
-        l0 = _arnoldi_ritz_vector(op.rmatvec, n, k, kl, dtype)
+        r0, defect_r = _arnoldi_ritz_vector(op.matvec, n, k, kr, dtype)
+        l0, defect_l = _arnoldi_ritz_vector(op.rmatvec, n, k, kl, dtype)
+        rank1_defect = jnp.maximum(defect_r, defect_l)
     else:
         r0 = jax.random.normal(kr, (n,), dtype=dtype)
         l0 = jax.random.normal(kl, (n,), dtype=dtype)
         r0 = r0 / jnp.linalg.norm(r0)
         l0 = l0 / jnp.linalg.norm(l0)
+        real_dtype0 = jnp.finfo(dtype).dtype
+        rank1_defect = jnp.zeros((), real_dtype0)  # see PowerInfo docs
 
     # f32-reachable stopping target: the f64-appropriate default
     # power_tol is below f32 machine epsilon, where the loop would burn
@@ -186,7 +209,8 @@ def _power_pair(op, opts: EigOptions):
     lam = jnp.sum(l * op.matvec(r)) / ln
     l = l / ln
     info = PowerInfo(iterations=it.astype(real_dtype), residual=resid,
-                     converged=(resid <= ptol).astype(real_dtype))
+                     converged=(resid <= ptol).astype(real_dtype),
+                     rank1_defect=rank1_defect)
     return lam, l, r, info
 
 
@@ -344,6 +368,14 @@ def dominant_eig(op, num_iters: int = 500, *, tol: float = 1e-10,
     Assumes the dominant eigenvalue is real, positive and simple — the
     Perron–Frobenius setting of the transfer-matrix applications this
     solver exists for (reference ``eig.py`` makes the same assumption).
+    The assumption is GUARDED, not just documented: with
+    ``with_info=True``, ``PowerInfo.rank1_defect`` measures whether the
+    Arnoldi-squaring extraction actually collapsed to a rank-1 dominant
+    pair (σ₂/σ₁ of the collapsed Hessenberg power; treat values ≳ 1e-2
+    as "dominant pair is complex or degenerate — result untrustworthy"),
+    and ``PowerInfo.converged`` stays 0 when the power polish's residual
+    oscillates instead of converging (the complex-pair signature under
+    ``method="power"``).
 
     ``num_iters`` is a budget: the two-sided power iteration exits as
     soon as both residuals fall below ``power_tol * |λ|``.  With
