@@ -136,13 +136,13 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
             + x.size * x.dtype.itemsize * max_blk,
             transcendentals=0,
         ),
-    )(cols.T, vals, x.reshape(nb, bs))
+    )(cols.T, vals, x.reshape(-1, bs))
     return y.reshape(-1)
 
 
 def _bell_spmv_xla(vals, cols, x):
     nb, max_blk, bs, _ = vals.shape
-    xb = x.reshape(nb, bs)
+    xb = x.reshape(-1, bs)  # nb_cols may exceed nb (rectangular row panel)
     y = jnp.einsum("ijab,ijb->ia", vals, xb[cols],
                    precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=x.dtype)
@@ -153,6 +153,12 @@ def _bell_spmv_xla(vals, cols, x):
 def bell_spmv(vals, cols, x, interpret: bool = False):
     """y = A x for a blocked-ELL matrix; Pallas kernel forward, XLA math
     for derivatives (bilinear in (vals, x), so the JVP is two more SpMVs).
+
+    ``A`` may be a rectangular row panel: ``vals`` is
+    (nb_rows, max_blk, bs, bs) while ``x`` has length ``nb_cols * bs``
+    with ``cols`` indexing block-columns in [0, nb_cols) — this is how the
+    row-sharded distributed operator applies its local panel against the
+    gathered global vector.  The square case is nb_cols == nb_rows.
     """
     return _bell_spmv_pallas(vals, cols, x, interpret=interpret)
 

@@ -1,0 +1,309 @@
+"""Row-sharded blocked-ELL sparse operator — BASELINE config #5 as written.
+
+The reference has no sparse storage and no distribution (SURVEY.md §2.4/
+§2.5: its "sparse" path is a single-device matvec closure); this module is
+the north-star tier the survey mandates: a **row/block-partitioned sparse
+matrix** whose SpMV runs per-shard on the MXU while the needed vector
+block-columns move over ICI.
+
+Layout
+------
+The global blocked-ELL matrix (see :class:`...ops.sparse.BellOperator`)
+
+    vals : (nb, max_blk, bs, bs)   cols : (nb, max_blk) GLOBAL block-cols
+
+is partitioned by **block-rows** over the mesh axis: device d owns block-
+rows [d*nb_l, (d+1)*nb_l) and the matching segment of every vector
+(``P(axis)``).  Column indices stay global; each device's panel is a
+*rectangular* BELL matrix (nb_l block-rows x nb block-cols).
+
+Communication modes
+-------------------
+* ``mode="all_gather"`` (default): ``all_gather`` the vector over ICI
+  (N*4 bytes — negligible next to the nnz*4 bytes of block values the
+  local SpMV must stream from HBM), then one local rectangular BELL SpMV
+  (Pallas kernel on TPU, gather-einsum elsewhere).  For any matrix with
+  more than a few stored blocks per row this is bandwidth-optimal: the
+  gather is amortized ``avg_blocks_per_row * bs``-fold against the value
+  stream.
+* ``mode="ring"``: the vector segment hops shard-to-shard with
+  ``ppermute`` while each device multiplies the slots whose block-columns
+  live in the segment currently in hand — communication overlaps local
+  compute, and no device ever materializes the full vector.  Slots are
+  re-bucketed **by source-shard offset** at construction (host-side, from
+  the concrete ``cols``); only offsets that actually occur are visited,
+  and the segment jumps straight between active offsets (one ``ppermute``
+  hop of the full stride), so a block-banded matrix with halo structure
+  pays exactly its halo width in hops — the moral analogue of ring
+  attention for this workload.  The bucket gather re-reads ``vals`` once
+  per matvec; prefer ``all_gather`` for pure single-vector throughput and
+  ``ring`` when the full vector must never be resident per device.
+
+Differentiability
+-----------------
+``vals`` is the pytree leaf; both modes are built from gathers, einsums
+and collectives that JAX can transpose and re-differentiate, and
+``shard_map`` is transparent to JVP/VJP — so ``dominant_eigh`` /
+``dominant_eigh_multi`` IFT gradients (orders 1 and 2) flow through the
+sharded SpMV unchanged.  (The Pallas local kernel routes its tangents
+through the XLA path via ``bell_spmv``'s ``custom_jvp``.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.operators import LinearOperator
+from ..ops.pallas_spmv import bell_spmv, _bell_spmv_xla
+from .mesh import SHARD_AXIS
+
+
+def _bucket_by_offset(cols: np.ndarray, vals_nonzero: np.ndarray, p: int):
+    """Re-bucket ELL slots by source-shard ring offset.
+
+    Returns ``{offset: (slot_idx, local_col, mask)}`` with per-offset
+    arrays of shape (nb, m_o): ``slot_idx`` indexes into the original
+    ``max_blk`` slots, ``local_col`` is the block-column *within* the
+    source shard, ``mask`` is 0.0 on padding.  Pad slots of the original
+    layout (zero blocks) are dropped entirely.  Static host-side
+    preprocessing — requires concrete ``cols``.
+    """
+    nb, max_blk = cols.shape
+    nb_l = nb // p
+    owner = np.arange(nb)[:, None] // nb_l          # (nb, 1)
+    src = cols // nb_l
+    offset = (src - owner) % p                      # (nb, max_blk)
+
+    buckets = {}
+    for o in range(p):
+        sel = (offset == o) & vals_nonzero          # (nb, max_blk)
+        counts = sel.sum(axis=1)
+        m_o = int(counts.max()) if nb else 0
+        if m_o == 0:
+            continue
+        slot_idx = np.zeros((nb, m_o), np.int32)
+        local_col = np.zeros((nb, m_o), np.int32)
+        mask = np.zeros((nb, m_o), np.float32)
+        for i in range(nb):
+            js = np.nonzero(sel[i])[0]
+            slot_idx[i, : len(js)] = js
+            local_col[i, : len(js)] = cols[i, js] % nb_l
+            mask[i, : len(js)] = 1.0
+        buckets[o] = (slot_idx, local_col, mask)
+    return buckets
+
+
+@jax.tree_util.register_pytree_node_class
+class RowShardedBellOperator(LinearOperator):
+    """Blocked-ELL sparse operator with block-rows sharded over a mesh axis.
+
+    Parameters
+    ----------
+    vals : (nb, max_blk, bs, bs) global block values (placed row-sharded).
+    cols : (nb, max_blk) int32 — GLOBAL block-column indices.  Must be
+        concrete (host) values when ``mode="ring"`` (static bucketing).
+    n    : global dimension (= nb * bs).
+    mesh : device mesh containing ``axis``.
+    mode : "all_gather" | "ring" (see module docstring).
+    symmetric : if True, ``rmatvec`` aliases ``matvec``.
+    use_pallas : force the local-panel kernel choice (None = auto:
+        Pallas on TPU backends, XLA gather-einsum elsewhere).
+    """
+
+    def __init__(self, vals, cols, n: int, mesh: Mesh, *,
+                 axis: str = SHARD_AXIS, mode: str = "all_gather",
+                 symmetric: bool = False, use_pallas: bool | None = None,
+                 interpret: bool = False):
+        if mode not in ("all_gather", "ring"):
+            raise ValueError(f"unknown mode {mode!r}")
+        nb, max_blk, bs, bs2 = vals.shape
+        if bs != bs2:
+            raise ValueError(f"blocks must be square, got ({bs}, {bs2})")
+        if nb * bs != n:
+            raise ValueError(f"nb*bs = {nb * bs} != n = {n}")
+        p = mesh.shape[axis]
+        if nb % p != 0:
+            raise ValueError(f"{nb} block-rows not divisible by {p} shards")
+        self.n = int(n)
+        self.mesh = mesh
+        self.axis = axis
+        self.mode = mode
+        self.symmetric = bool(symmetric)
+        self.use_pallas = use_pallas
+        self.interpret = bool(interpret)
+
+        if mode == "ring":
+            # Static bucketing needs concrete host values: construct the
+            # operator OUTSIDE jit when mode="ring" (the resulting pytree
+            # then traces fine; only __init__ is host-side).
+            cols_np = np.asarray(jax.device_get(cols))
+            vals_np = np.asarray(jax.device_get(vals))
+            nonzero = np.abs(vals_np).max(axis=(2, 3)) > 0
+            buckets = _bucket_by_offset(cols_np, nonzero, p)
+            self._offsets = tuple(sorted(buckets))
+            rs = NamedSharding(mesh, P(axis, None))
+            self._slot_idx = tuple(
+                jax.device_put(jnp.asarray(buckets[o][0]), rs)
+                for o in self._offsets)
+            self._local_col = tuple(
+                jax.device_put(jnp.asarray(buckets[o][1]), rs)
+                for o in self._offsets)
+            self._mask = tuple(
+                jax.device_put(jnp.asarray(buckets[o][2]), rs)
+                for o in self._offsets)
+        else:
+            self._offsets = ()
+            self._slot_idx = self._local_col = self._mask = ()
+
+        self.vals = jax.device_put(
+            vals, NamedSharding(mesh, P(axis, None, None, None)))
+        self.cols = jax.device_put(
+            jnp.asarray(cols, jnp.int32), NamedSharding(mesh, P(axis, None)))
+
+    # -- local-panel kernels ---------------------------------------------------
+
+    def _panel_spmv(self, vals_blk, cols_blk, x_full):
+        use = self.use_pallas
+        if use is None:
+            use = jax.default_backend() == "tpu"
+        if use:
+            return bell_spmv(vals_blk, cols_blk, x_full, self.interpret)
+        return _bell_spmv_xla(vals_blk, cols_blk, x_full)
+
+    # -- shard_map bodies --------------------------------------------------------
+
+    def _mv_all_gather(self, vals_blk, cols_blk, x_blk):
+        x_full = lax.all_gather(x_blk, self.axis, tiled=True)
+        return self._panel_spmv(vals_blk, cols_blk, x_full)
+
+    def _mv_ring(self, vals_blk, bucket_blks, x_blk):
+        # Python loop over the (static, usually few) active offsets;
+        # between consecutive active offsets the segment jumps the full
+        # stride in one ppermute.  XLA's async collectives overlap the
+        # hop with the in-hand bucket's einsum.
+        axis = self.axis
+        p = lax.axis_size(axis)
+        nb_l = vals_blk.shape[0]
+        bs = vals_blk.shape[-1]
+        acc = jnp.zeros((nb_l, bs), x_blk.dtype)
+        seg = x_blk
+        prev = 0
+        for o, (slot_idx, local_col, mask) in zip(self._offsets, bucket_blks):
+            delta = o - prev
+            if delta:
+                # Move shard s's segment to device (s - delta) mod p so the
+                # data from source (me + o) mod p lands here.
+                perm = [(s, (s - delta) % p) for s in range(p)]
+                seg = lax.ppermute(seg, axis, perm)
+            prev = o
+            # Differentiable bucket gather from the vals leaf (static
+            # slot permutation; mask zeroes the per-row padding).
+            rv = jnp.take_along_axis(
+                vals_blk, slot_idx[:, :, None, None], axis=1)
+            rv = rv * mask[:, :, None, None].astype(rv.dtype)
+            xb = seg.reshape(nb_l, bs)
+            acc = acc + jnp.einsum(
+                "ijab,ijb->ia", rv, xb[local_col],
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=acc.dtype)
+        return acc.reshape(-1)
+
+    def _rmv(self, vals_blk, cols_blk, x_blk):
+        # y = A^T x: local rows scatter into global block-columns, then the
+        # partials reduce-scatter back to the row sharding.
+        nb_l, _, bs, _ = vals_blk.shape
+        nb = self.n // bs
+        contrib = jnp.einsum("ijab,ia->ijb", vals_blk,
+                             x_blk.reshape(nb_l, bs),
+                             precision=lax.Precision.HIGHEST,
+                             preferred_element_type=x_blk.dtype)
+        y_full = jnp.zeros((nb, bs), x_blk.dtype).at[cols_blk].add(contrib)
+        return lax.psum_scatter(y_full.reshape(-1), self.axis, tiled=True)
+
+    # -- LinearOperator interface -------------------------------------------------
+
+    def matvec(self, x):
+        ax = self.axis
+        if self.mode == "all_gather":
+            return shard_map(
+                self._mv_all_gather, mesh=self.mesh, axis_names={ax},
+                in_specs=(P(ax, None, None, None), P(ax, None), P(ax)),
+                out_specs=P(ax))(self.vals, self.cols, x)
+        buckets = tuple(zip(self._slot_idx, self._local_col, self._mask))
+        spec3 = tuple((P(ax, None),) * 3 for _ in buckets)
+        return shard_map(
+            self._mv_ring, mesh=self.mesh, axis_names={ax},
+            in_specs=(P(ax, None, None, None), spec3, P(ax)),
+            out_specs=P(ax))(self.vals, buckets, x)
+
+    def rmatvec(self, x):
+        if self.symmetric:
+            return self.matvec(x)
+        ax = self.axis
+        return shard_map(
+            self._rmv, mesh=self.mesh, axis_names={ax},
+            in_specs=(P(ax, None, None, None), P(ax, None), P(ax)),
+            out_specs=P(ax))(self.vals, self.cols, x)
+
+    @property
+    def dim(self):
+        return self.n
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def block_size(self):
+        return self.vals.shape[-1]
+
+    @property
+    def nnz(self):
+        """Stored entries (incl. explicit zeros in padded blocks)."""
+        return int(np.prod(self.vals.shape))
+
+    # -- construction helpers -------------------------------------------------
+
+    def with_vals(self, vals):
+        """Copy of this operator with the ``vals`` leaf replaced.
+
+        ``mode="ring"`` bucketing is static (host-side, from ``cols``), so
+        the operator itself must be constructed with concrete values; to
+        differentiate a loss w.r.t. the matrix entries, build once outside
+        the traced function and swap the (traced) values in with this —
+        the sparsity pattern is reused, only the leaf changes.
+        """
+        leaves, aux = self.tree_flatten()
+        return type(self).tree_unflatten(aux, (vals,) + tuple(leaves[1:]))
+
+    @classmethod
+    def from_bell(cls, op, mesh: Mesh, **kw):
+        """Shard a single-device :class:`BellOperator` over ``mesh``."""
+        kw.setdefault("symmetric", op.symmetric)
+        kw.setdefault("use_pallas", op.use_pallas)
+        kw.setdefault("interpret", op.interpret)
+        return cls(op.vals, op.cols, op.n, mesh, **kw)
+
+    # -- pytree -----------------------------------------------------------------
+
+    def tree_flatten(self):
+        leaves = (self.vals, self.cols, self._slot_idx, self._local_col,
+                  self._mask)
+        aux = (self.n, self.mesh, self.axis, self.mode, self.symmetric,
+               self.use_pallas, self.interpret, self._offsets)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = cls.__new__(cls)
+        (obj.vals, obj.cols, obj._slot_idx, obj._local_col,
+         obj._mask) = leaves
+        (obj.n, obj.mesh, obj.axis, obj.mode, obj.symmetric,
+         obj.use_pallas, obj.interpret, obj._offsets) = aux
+        return obj

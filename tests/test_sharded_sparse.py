@@ -1,0 +1,131 @@
+"""Row-sharded blocked-ELL operator (BASELINE config #5 tier) on the
+8-virtual-device CPU mesh: values, transposes, and IFT gradients (orders
+1 and 2) must match the single-device BellOperator / dense oracles.
+
+The reference has no sparse storage or distribution (SURVEY.md §2.4/§2.5);
+the oracle is this framework's own single-device path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dominantsparseeigenad_tpu import (
+    BellOperator, DenseOperator, dominant_eigh, random_bell_operator)
+from dominantsparseeigenad_tpu.parallel import (
+    RowShardedBellOperator, make_mesh, shard_vector)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()  # (1, 8): all devices on the "shards" axis
+
+
+def _sym_bell(n=128, bs=8, bpr=5, dtype=jnp.float64):
+    return random_bell_operator(jax.random.PRNGKey(5), n=n, bs=bs,
+                                blocks_per_row=bpr, dtype=dtype,
+                                use_pallas=False)
+
+
+@pytest.mark.parametrize("mode", ["all_gather", "ring"])
+def test_sharded_bell_matvec_matches_local(mesh, mode):
+    op = _sym_bell()
+    sop = RowShardedBellOperator.from_bell(op, mesh, mode=mode)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(op.n))
+    y_local = op.matvec(x)
+    y_shard = sop.matvec(shard_vector(x, mesh))
+    np.testing.assert_allclose(y_shard, y_local, rtol=1e-12, atol=1e-13)
+    # symmetric: rmatvec aliases matvec
+    np.testing.assert_allclose(sop.rmatvec(shard_vector(x, mesh)),
+                               y_local, rtol=1e-12, atol=1e-13)
+
+
+def test_sharded_bell_ring_visits_only_active_offsets(mesh):
+    op = _sym_bell(bpr=3)  # diagonal + one +/- band pair
+    sop = RowShardedBellOperator.from_bell(op, mesh, mode="ring")
+    # The diagonal band is shard offset 0; a band pair at block offset
+    # +/-o straddles at most 2 shard offsets each (nb_l=2 rows/shard), so
+    # <= 5 active ring offsets — strictly fewer than p=8 hops when the
+    # band is narrow (that's the point of offset-skipping).
+    assert 1 <= len(sop._offsets) <= 5
+    assert all(0 <= o < 8 for o in sop._offsets)
+
+
+def test_sharded_bell_rmatvec_nonsymmetric(mesh):
+    # Non-symmetric pattern: take the symmetric generator and zero one band
+    # asymmetrically via the dense detour (small n, oracle-grade).
+    rng = np.random.default_rng(3)
+    n, bs = 64, 8
+    a = np.zeros((n, n))
+    nb = n // bs
+    for i in range(nb):
+        for j in (i, (i + 2) % nb):
+            a[i * bs:(i + 1) * bs, j * bs:(j + 1) * bs] = \
+                rng.standard_normal((bs, bs))
+    bop = BellOperator.from_dense(jnp.asarray(a), bs=bs, use_pallas=False)
+    sop = RowShardedBellOperator.from_bell(bop, mesh, mode="all_gather")
+    x = jnp.asarray(rng.standard_normal(n))
+    xs = shard_vector(x, mesh)
+    np.testing.assert_allclose(sop.matvec(xs), a @ x, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(sop.rmatvec(xs), a.T @ x,
+                               rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.parametrize("mode", ["all_gather", "ring"])
+def test_sharded_bell_eigh_grad_matches_local(mesh, mode):
+    """dominant_eigh value + gradient w.r.t. the block values through the
+    sharded SpMV == the single-device BellOperator path."""
+    op = _sym_bell(n=64, bs=8, bpr=3)
+    sop = RowShardedBellOperator.from_bell(op, mesh, mode=mode)
+
+    def loss_local(vals):
+        o = BellOperator(vals, op.cols, op.n, symmetric=True,
+                         use_pallas=False)
+        lam, v = dominant_eigh(o, k=40, extreme="min")
+        return lam + jnp.sum(v ** 4)
+
+    def loss_sharded(vals):
+        lam, v = dominant_eigh(sop.with_vals(vals), k=40, extreme="min")
+        return lam + jnp.sum(v ** 4)
+
+    v0, g0 = jax.value_and_grad(loss_local)(op.vals)
+    v1, g1 = jax.value_and_grad(loss_sharded)(op.vals)
+    np.testing.assert_allclose(v1, v0, rtol=1e-9)
+    np.testing.assert_allclose(g1, g0, rtol=1e-6, atol=1e-10)
+
+
+def test_sharded_bell_second_derivative(mesh):
+    """Order 2 through the sharded sparse SpMV: d2 lambda/dt2 of A + t*B
+    (B a fixed pattern-compatible perturbation) vs the single-device path."""
+    op = _sym_bell(n=64, bs=8, bpr=3)
+    sop = RowShardedBellOperator.from_bell(op, mesh, mode="all_gather")
+    rng = np.random.default_rng(9)
+    dvals = jnp.asarray(rng.standard_normal(op.vals.shape))
+    # Keep the perturbation symmetric: symmetrize through the dense detour.
+    b = BellOperator(dvals, op.cols, op.n, use_pallas=False).to_dense()
+    b = (b + b.T) / 2
+    dvals = BellOperator.from_dense(b, bs=8, use_pallas=False)
+
+    def lam_of(vals_fn, t):
+        lam, _ = dominant_eigh(vals_fn(t), k=40, extreme="min")
+        return lam
+
+    # Rebuild the perturbation on the ORIGINAL slot layout so vals shapes
+    # match: project b onto op's pattern.
+    nb, max_blk, bs, _ = op.vals.shape
+    bmat = np.asarray(b).reshape(nb, bs, nb, bs).transpose(0, 2, 1, 3)
+    pert = np.zeros_like(np.asarray(op.vals))
+    cols_np = np.asarray(op.cols)
+    for i in range(nb):
+        for j in range(max_blk):
+            pert[i, j] = bmat[i, cols_np[i, j]]
+    pert = jnp.asarray(pert)
+
+    local = lambda t: BellOperator(op.vals + t * pert, op.cols, op.n,
+                                   symmetric=True, use_pallas=False)
+    shard = lambda t: sop.with_vals(op.vals + t * pert)
+
+    d2_local = jax.grad(jax.grad(lambda t: lam_of(local, t)))(0.0)
+    d2_shard = jax.grad(jax.grad(lambda t: lam_of(shard, t)))(0.0)
+    np.testing.assert_allclose(d2_shard, d2_local, rtol=1e-7)
