@@ -39,12 +39,64 @@ def _sync_time(f, *args, repeats=4):
     return min(ts)
 
 
+def run_sharded(args):
+    """BASELINE config #5 as written: the synthetic BELL operator
+    row-partitioned over a p-device mesh (RowShardedBellOperator), SpMV
+    chained under jit; emits *per-chip* nnz/s so the number is comparable
+    across shard counts.  On the single real TPU chip p=1 measures the
+    shard_map overhead; on the 8-virtual-device CPU mesh it validates
+    collective correctness at scale (same code runs unchanged on a pod)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from dominantsparseeigenad_tpu.parallel import (
+        RowShardedBellOperator, shard_vector)
+    from dominantsparseeigenad_tpu.parallel.mesh import BATCH_AXIS, SHARD_AXIS
+
+    p = args.shards
+    devices = jax.devices()[:p]
+    mesh = Mesh(np.asarray(devices).reshape(1, p), (BATCH_AXIS, SHARD_AXIS))
+    op = random_bell_operator(jax.random.PRNGKey(2), n=args.n, bs=args.bs,
+                              blocks_per_row=args.bpr, dtype=jnp.float32)
+    sop = RowShardedBellOperator.from_bell(op, mesh, mode=args.mode)
+    x = shard_vector(jax.random.normal(jax.random.PRNGKey(3), (args.n,),
+                                       jnp.float32), mesh)
+    nnz = sop.nnz
+    print(f"# sharded backend={jax.default_backend()} p={p} mode={args.mode}"
+          f" n={args.n} nnz={nnz/1e9:.2f}e9", file=sys.stderr)
+
+    @jax.jit
+    def run(o, xx):
+        def body(_, cur):
+            y = o.matvec(cur)
+            return y / jnp.linalg.norm(y)
+        return jax.lax.fori_loop(0, N_CHAIN, body, xx)
+
+    dt = _sync_time(run, sop, x) / N_CHAIN
+    per_chip = nnz / dt / p
+    print(f"# sharded: {dt*1e3:.2f}ms/spmv -> {per_chip/1e9:.1f} Gnnz/s/chip"
+          f" ({nnz*4/dt/1e9:.0f} GB/s aggregate)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "sharded_bell_spmv_nnz_per_s_per_chip",
+        "value": round(per_chip),
+        "unit": "nnz/s/chip",
+        "vs_baseline": round(per_chip / 1e9, 3),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 19)
     ap.add_argument("--bs", type=int, default=128)
     ap.add_argument("--bpr", type=int, default=17)
+    ap.add_argument("--shards", type=int, default=0,
+                    help="row-partition over this many devices "
+                         "(0 = single-device kernel comparison)")
+    ap.add_argument("--mode", choices=("all_gather", "ring"),
+                    default="all_gather")
     args = ap.parse_args()
+
+    if args.shards:
+        return run_sharded(args)
 
     op = random_bell_operator(jax.random.PRNGKey(2), n=args.n, bs=args.bs,
                               blocks_per_row=args.bpr, dtype=jnp.float32)

@@ -229,25 +229,30 @@ class RowShardedBellOperator(LinearOperator):
     # -- LinearOperator interface -------------------------------------------------
 
     def matvec(self, x):
+        # Fully-manual shard_map (every mesh axis in axis_names): a Pallas
+        # kernel cannot sit in a region that any mesh axis could still
+        # auto-partition, and check_vma=False because the kernel's out
+        # ShapeDtypeStruct carries no varying-mesh-axes info.
         ax = self.axis
+        manual = set(self.mesh.axis_names)
         if self.mode == "all_gather":
             return shard_map(
-                self._mv_all_gather, mesh=self.mesh, axis_names={ax},
+                self._mv_all_gather, mesh=self.mesh, axis_names=manual,
                 in_specs=(P(ax, None, None, None), P(ax, None), P(ax)),
-                out_specs=P(ax))(self.vals, self.cols, x)
+                out_specs=P(ax), check_vma=False)(self.vals, self.cols, x)
         buckets = tuple(zip(self._slot_idx, self._local_col, self._mask))
         spec3 = tuple((P(ax, None),) * 3 for _ in buckets)
         return shard_map(
-            self._mv_ring, mesh=self.mesh, axis_names={ax},
+            self._mv_ring, mesh=self.mesh, axis_names=manual,
             in_specs=(P(ax, None, None, None), spec3, P(ax)),
-            out_specs=P(ax))(self.vals, buckets, x)
+            out_specs=P(ax), check_vma=False)(self.vals, buckets, x)
 
     def rmatvec(self, x):
         if self.symmetric:
             return self.matvec(x)
         ax = self.axis
         return shard_map(
-            self._rmv, mesh=self.mesh, axis_names={ax},
+            self._rmv, mesh=self.mesh, axis_names=set(self.mesh.axis_names),
             in_specs=(P(ax, None, None, None), P(ax, None), P(ax)),
             out_specs=P(ax))(self.vals, self.cols, x)
 
