@@ -40,7 +40,29 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 
-_ROW_GROUP = 8  # block-rows per grid step; 8 f32 sublanes per tile
+import os
+
+# Optional override for tuning experiments; 0 = auto (see _pick_row_group).
+_ROW_GROUP = int(os.environ.get("DSE_SPMV_ROW_GROUP", "0"))
+
+# Scoped-VMEM budget for the two pipeline buffers of the vals stream.  The
+# TPU compiler's scoped-vmem limit is 16 MiB; leave headroom for y, the
+# gather scratch and semaphores.  Measured on the v5e chip (n=2^19,
+# bs=128, 17 blocks/row): row group 8 -> 142 Gnnz/s, 16 -> 155, 32 -> 155,
+# 64 -> 157 (XLA fallback: 153); 128 OOMs scoped VMEM.  Fewer, larger
+# grid steps amortize the per-step overhead (semaphore waits + G gather
+# DMA starts) against a longer vals DMA.
+_VALS_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _pick_row_group(nb: int, bs: int, itemsize: int) -> int | None:
+    """Largest row group that tiles nb and keeps 2 vals buffers in budget."""
+    if _ROW_GROUP:
+        return _ROW_GROUP if nb % _ROW_GROUP == 0 else None
+    for g in (64, 32, 16, 8):
+        if nb % g == 0 and 2 * g * bs * bs * itemsize <= _VALS_VMEM_BUDGET:
+            return g
+    return None
 
 
 def _spmv_kernel(cols_ref, vals_ref, x_hbm_ref, y_ref, xg_ref, sems):
@@ -105,9 +127,9 @@ def _spmv_kernel(cols_ref, vals_ref, x_hbm_ref, y_ref, xg_ref, sems):
 
 def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
     nb, max_blk, bs, _ = vals.shape
-    g = _ROW_GROUP
+    g = _pick_row_group(nb, bs, vals.dtype.itemsize)
     smem_bytes = max_blk * (-(-nb // 128) * 128) * 4
-    if nb % g != 0 or smem_bytes > 768 * 1024:
+    if g is None or smem_bytes > 768 * 1024:
         # Row count not tileable, or the index table would overflow the
         # 1 MiB scalar-memory budget -> XLA fallback.
         return _bell_spmv_xla(vals, cols, x)
