@@ -184,7 +184,7 @@ def trg_step(t, chi, eps=_EPS, method: str = "gram"):
 
 def trg_free_energy(beta, *, chi: int = 24, n_steps: int = 24,
                     eps: float = _EPS, dtype=jnp.float64,
-                    split_method: str = "auto"):
+                    split_method: str = "auto", unroll: bool = False):
     """ln Z per site of the 2D Ising model via TRG; differentiable in beta.
 
     After ``n_steps`` halvings the residual lattice of N/2^n sites is
@@ -200,7 +200,24 @@ def trg_free_energy(beta, *, chi: int = 24, n_steps: int = 24,
     full-SVD flow at chi=30) and the most f32-accurate (its reductions
     ride HIGHEST-precision matmuls instead of the TPU svd's internal
     f32 QR sweeps: lnZ err 3e-5 vs 3e-4).
+
+    ``unroll=True`` replaces the shape-stable ``lax.scan`` over
+    renormalization steps with a Python loop.  This exists for ONE
+    reason: transposing a ``lax.scan`` at second order drops the nested
+    custom eigh/svd rules and falls back to the builtin derivative,
+    which divides by the TRG matrices' exact-degenerate gaps — so
+    ``jax.grad(jax.grad(trg_free_energy))`` over the scanned flow is
+    NaN.  Supported order-2 routes: (a) nested forward mode
+    (:func:`ising_observables` — jvp-of-jvp never transposes the scan),
+    or (b) ``unroll=True``, which keeps reverse-over-reverse intact at
+    the cost of O(n_steps) longer traces/compiles.
     """
+    # Canonicalize FIRST: with x64 disabled (the TPU configuration) the
+    # default f64 request silently truncates to f32, and resolving "auto"
+    # from the *requested* dtype then picks the f64-only "gram" split,
+    # whose squared spectrum reconstructs noise in f32 — second
+    # derivatives NaN (caught by the real-chip test lane).
+    dtype = jnp.zeros((), dtype).dtype
     if split_method == "auto":
         split_method = "gram" if jnp.finfo(dtype).bits >= 64 else "subspace"
     # TPU's default matmul precision is bf16 (MXU passthrough), which
@@ -209,10 +226,12 @@ def trg_free_energy(beta, *, chi: int = 24, n_steps: int = 24,
     # passes are free.  No-op on CPU f64.
     with jax.default_matmul_precision("highest"):
         return _trg_free_energy_impl(beta, chi=chi, n_steps=n_steps, eps=eps,
-                                     dtype=dtype, split_method=split_method)
+                                     dtype=dtype, split_method=split_method,
+                                     unroll=unroll)
 
 
-def _trg_free_energy_impl(beta, *, chi, n_steps, eps, dtype, split_method):
+def _trg_free_energy_impl(beta, *, chi, n_steps, eps, dtype, split_method,
+                          unroll=False):
     t = ising_vertex_tensor(beta, dtype=dtype)
     logz = jnp.zeros((), dtype=dtype)
     # Growth phase: the bond dimension doubles-then-caps (2 -> 4 -> 16 ->
@@ -238,8 +257,14 @@ def _trg_free_energy_impl(beta, *, chi, n_steps, eps, dtype, split_method):
             return (trg_step(t, chi, eps, split_method), logz, w * 0.5), None
 
         w0 = jnp.asarray(1.0 / (2 ** used), dtype)
-        (t, logz, _), _ = jax.lax.scan(
-            scan_body, (t, logz, w0), None, length=n_steps - used)
+        if unroll:
+            carry = (t, logz, w0)
+            for _ in range(n_steps - used):
+                carry, _ = scan_body(carry, None)
+            t, logz, _ = carry
+        else:
+            (t, logz, _), _ = jax.lax.scan(
+                scan_body, (t, logz, w0), None, length=n_steps - used)
     norm = jnp.max(jnp.abs(t))
     t = t / norm
     logz = logz + jnp.log(norm) / (2 ** n_steps)

@@ -284,3 +284,17 @@ def test_correlation_length_ordered_phase():
     xi = float(correlation_length(jnp.float64(b), chi=10, n_steps=15))
     assert xi > 100  # ordered phase: huge but finite at finite chi
     np.testing.assert_allclose(xi, xi_exact, rtol=1e-4)
+
+
+def test_trg_unrolled_grad_grad_matches_nested_forward():
+    """unroll=True restores true reverse-over-reverse through the TRG flow
+    (the scanned flow's grad(grad()) is a documented JAX scan-transpose
+    limitation); it must agree with the supported nested-forward c_v
+    route and stay finite."""
+    beta = jnp.float64(0.44)
+    d2_unrolled = jax.grad(jax.grad(
+        lambda b: trg_free_energy(b, chi=12, n_steps=8, unroll=True)))(beta)
+    d2_fwd = jax.grad(jax.jacfwd(
+        lambda b: trg_free_energy(b, chi=12, n_steps=8)))(beta)
+    assert np.isfinite(float(d2_unrolled))
+    np.testing.assert_allclose(d2_unrolled, d2_fwd, rtol=1e-6)
