@@ -395,6 +395,15 @@ def lanczos_adaptive(op, k: int, *, extreme: str = "min",
     Gradients never flow through this loop — wrap via
     :func:`~.eigh.dominant_eigh` (``early_exit_tol=...``) for derivatives.
 
+    **Memory note**: early exit saves *matvecs and reorth FLOPs*, not
+    peak HBM — the ``(k+1, N)`` basis buffer is allocated for the full
+    static budget regardless of where the exit fires (XLA needs static
+    shapes).  A conservative ``k`` therefore still pays peak memory; when
+    the basis itself is the constraint, bound memory with
+    ``dominant_eigh(restart_cycles=...)`` (thick restarts keep an
+    ``(m+1, N)`` window, :mod:`~.restart`) and keep this early exit for
+    the FLOP savings inside each cycle.
+
     Returns ``(lam, v, LanczosInfo)``.
     """
     if extreme not in ("min", "max"):

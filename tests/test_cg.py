@@ -280,8 +280,8 @@ def test_solve_general_gmres_gradients():
                           tol=1e-12, method="gmres")
         return jnp.sum(x ** 2)
 
-    check_grads(loss, (jnp.float64(0.1),), order=2, modes=["fwd", "rev"],
-                atol=1e-5, rtol=1e-5)
+    check_grads(jax.jit(loss), (jnp.float64(0.1),), order=2,
+                modes=["fwd", "rev"], atol=1e-5, rtol=1e-5)
 
 
 def test_dominant_eig_gmres_solver_matches_bicgstab():
@@ -294,6 +294,6 @@ def test_dominant_eig_gmres_solver_matches_bicgstab():
 
     def dlam(solver):
         f = lambda t: dominant_eig(a0 + t * a1, solver=solver)[0]
-        return jax.grad(f)(jnp.float64(0.0))
+        return jax.jit(jax.grad(f))(jnp.float64(0.0))
 
     np.testing.assert_allclose(dlam("gmres"), dlam("bicgstab"), rtol=1e-8)

@@ -54,8 +54,8 @@ def test_complex_first_and_second_derivatives():
         return lam
 
     g0 = jnp.float64(0.3)
-    grad = jax.grad(e0)(g0)
-    d2 = jax.grad(jax.grad(e0))(g0)
+    grad = jax.jit(jax.grad(e0))(g0)
+    d2 = jax.jit(jax.grad(jax.grad(e0)))(g0)
 
     evals, evecs = np.linalg.eigh(np.asarray(h0 + 0.3 * h1))
     v0 = evecs[:, 0]
@@ -81,7 +81,8 @@ def test_complex_eigenvector_gradient():
         return jnp.abs(jnp.vdot(w, v)) ** 2
 
     g0 = jnp.float64(0.2)
-    grad = jax.grad(overlap)(g0)
+    overlap = jax.jit(overlap)
+    grad = jax.jit(jax.grad(overlap))(g0)
     eps = 1e-6
     num = (overlap(g0 + eps) - overlap(g0 - eps)) / (2 * eps)
     np.testing.assert_allclose(grad, num, rtol=1e-5)
@@ -226,7 +227,8 @@ def test_complex_phase_sensitive_eigenvector_gradients():
     aj, pj = jnp.asarray(a), jnp.asarray(pert)
 
     def check(f, rtol=2e-5):
-        g = float(jax.grad(f)(jnp.float64(0.0)))
+        f = jax.jit(f)
+        g = float(jax.jit(jax.grad(f))(jnp.float64(0.0)))
         eps = 1e-5
         fd = (float(f(jnp.float64(eps)))
               - float(f(jnp.float64(-eps)))) / (2 * eps)

@@ -199,7 +199,7 @@ def test_dominant_eig_multi_matches_numpy_and_grads():
     d = np.concatenate([[5.0, 4.0, 3.0], rng.random(n - 3)])
     a = jnp.asarray(q @ np.diag(d) @ q.T + 0.02 * rng.standard_normal((n, n)))
 
-    lams, ls, rs = dominant_eig_multi(a, m=3)
+    lams, ls, rs = jax.jit(lambda mat: dominant_eig_multi(mat, m=3))(a)
     w = np.linalg.eigvals(np.asarray(a))
     w_top = np.real(w[np.argsort(-np.abs(w))][:3])
     np.testing.assert_allclose(np.asarray(lams), w_top, rtol=1e-9)
@@ -216,7 +216,8 @@ def test_dominant_eig_multi_matches_numpy_and_grads():
         lams, _, _ = dominant_eig_multi(a + t * a1, m=2)
         return lams[0] - jnp.abs(lams[1])
 
-    g = jax.grad(gapf)(jnp.float64(0.0))
+    gapf = jax.jit(gapf)
+    g = jax.jit(jax.grad(gapf))(jnp.float64(0.0))
     fd = (gapf(jnp.float64(1e-6)) - gapf(jnp.float64(-1e-6))) / 2e-6
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
 

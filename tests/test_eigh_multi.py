@@ -60,7 +60,8 @@ def test_multi_eigenvector_gradients_fd():
                                       tol=1e-12)
         return jnp.sum(v ** 4) + jnp.sum(lams ** 2)
 
-    g = jax.grad(loss)(a)
+    loss = jax.jit(loss)
+    g = jax.jit(jax.grad(loss))(a)
     eps = 1e-6
     rng = np.random.default_rng(3)
     for _ in range(3):
@@ -86,7 +87,8 @@ def test_multi_degenerate_block_finite():
         p = v @ v.T                       # projector: gauge-invariant
         return jnp.sum(lams) + jnp.sum(p * p)
 
-    val, g = jax.value_and_grad(loss)(a)
+    loss = jax.jit(loss)
+    val, g = jax.jit(jax.value_and_grad(loss))(a)
     assert np.all(np.isfinite(np.asarray(g)))
     eps = 1e-6
     da = jnp.zeros_like(a).at[0, 0].set(eps)

@@ -34,6 +34,12 @@ def test_example_runs_clean(script, args):
     # The examples pick their own platform (CPU for f64 validation); make
     # sure the test harness's own pinning doesn't leak in.
     env.pop("JAX_PLATFORMS", None)
+    # Share the suite's persistent compile cache with the subprocess:
+    # without it every suite run re-pays full XLA compilation inside each
+    # example (~20-40 s apiece — the examples were the slowest "tests").
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.abspath(
+        os.path.join(_ROOT, ".jax_cache_tests"))
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
     # The package is used from a source checkout (not installed); the
     # examples bootstrap sys.path themselves, but keep the subprocess
     # robust even if that ever regresses.

@@ -21,7 +21,7 @@ def test_matvec_matches_dense():
 def test_ground_energy_and_derivatives():
     n = 8
     e0 = lambda jz: heisenberg_ground_energy(n, 1.0, jz, k=1 << n)
-    val, grad = jax.value_and_grad(e0)(jnp.float64(1.0))
+    val, grad = jax.jit(jax.value_and_grad(e0))(jnp.float64(1.0))
     evals, evecs = np.linalg.eigh(np.asarray(heisenberg_dense(n)))
     np.testing.assert_allclose(val, evals[0], rtol=1e-11)
     v0 = evecs[:, 0]
@@ -29,7 +29,7 @@ def test_ground_energy_and_derivatives():
     np.testing.assert_allclose(grad, hf, rtol=1e-9)
 
     # second derivative vs sum-over-states
-    d2 = jax.grad(jax.grad(e0))(jnp.float64(1.0))
+    d2 = jax.jit(jax.grad(jax.grad(e0)))(jnp.float64(1.0))
     dz = _zz_diagonal(n, np.float64)
     me = evecs[:, 1:].T @ (dz * v0)
     d2_exact = 2 * np.sum(me ** 2 / (evals[0] - evals[1:]))

@@ -99,8 +99,8 @@ def test_multi_method_parity_and_order2_grads():
         return jnp.sum(l * jnp.arange(1.0, r + 1.0)) + jnp.sum(v[0] ** 2)
 
     m0 = jnp.asarray(np.random.default_rng(4).standard_normal((32, 32)))
-    check_grads(f, (m0,), order=2, modes=("fwd", "rev"), atol=1e-3,
-                rtol=1e-3)
+    check_grads(jax.jit(f), (m0,), order=2, modes=("fwd", "rev"),
+                atol=1e-3, rtol=1e-3)
 
 
 def test_multi_with_info_flags_underconvergence():

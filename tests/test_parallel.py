@@ -56,8 +56,8 @@ def test_row_sharded_eigh_and_grad(mesh, mode):
         lam, v = dominant_eigh(op, k=n, extreme="min")
         return lam + jnp.sum(v ** 4)
 
-    v0, g0 = jax.value_and_grad(loss_dense)(a)
-    v1, g1 = jax.value_and_grad(loss_sharded)(a)
+    v0, g0 = jax.jit(jax.value_and_grad(loss_dense))(a)
+    v1, g1 = jax.jit(jax.value_and_grad(loss_sharded))(a)
     np.testing.assert_allclose(v1, v0, rtol=1e-9)
     np.testing.assert_allclose(g1, g0, rtol=1e-6, atol=1e-9)
 
@@ -81,7 +81,7 @@ def test_sharded_tfim_energy_and_derivatives(mesh):
         lam, _ = dominant_eigh(op, k=60, extreme="min")
         return lam
 
-    val, grad = jax.value_and_grad(e0)(jnp.float64(g))
+    val, grad = jax.jit(jax.value_and_grad(e0))(jnp.float64(g))
     exact_val, exact_grad = jax.value_and_grad(
         lambda gg: tfim_exact_e0(n, gg))(jnp.float64(g))
     np.testing.assert_allclose(val, exact_val, rtol=1e-9)
@@ -97,7 +97,7 @@ def test_sharded_tfim_second_derivative(mesh):
         lam, _ = dominant_eigh(op, k=1 << n, extreme="min")
         return lam
 
-    d2 = jax.grad(jax.grad(e0))(jnp.float64(g))
+    d2 = jax.jit(jax.grad(jax.grad(e0)))(jnp.float64(g))
     d2_exact = jax.grad(jax.grad(
         lambda gg: tfim_exact_e0(n, gg)))(jnp.float64(g))
     np.testing.assert_allclose(d2, d2_exact, rtol=1e-6)
@@ -119,11 +119,11 @@ def test_sharded_multi_eigensolver(mesh):
                                       r=2, k=1 << n)
         return lams[1] - lams[0]
 
-    g_sharded = jax.grad(gap)(jnp.float64(g))
+    g_sharded = jax.jit(jax.grad(gap))(jnp.float64(g))
     def gap_local(gg):
         lams, _ = dominant_eigh_multi(tfim_operator(n, gg), r=2, k=1 << n)
         return lams[1] - lams[0]
-    g_local = jax.grad(gap_local)(jnp.float64(g))
+    g_local = jax.jit(jax.grad(gap_local))(jnp.float64(g))
     np.testing.assert_allclose(g_sharded, g_local, rtol=1e-8)
 
 
@@ -147,8 +147,10 @@ def test_sharded_lobpcg_matches_dense(mesh):
     sharded = lams_of(lambda mat: RowShardedOperator(mat, mesh))
     np.testing.assert_allclose(sharded(a), dense(a), rtol=1e-9)
 
-    gd = jax.grad(lambda m: jnp.sum(dense(m) * jnp.arange(1.0, r + 1)))(a)
-    gs = jax.grad(lambda m: jnp.sum(sharded(m) * jnp.arange(1.0, r + 1)))(a)
+    gd = jax.jit(jax.grad(
+        lambda m: jnp.sum(dense(m) * jnp.arange(1.0, r + 1))))(a)
+    gs = jax.jit(jax.grad(
+        lambda m: jnp.sum(sharded(m) * jnp.arange(1.0, r + 1))))(a)
     np.testing.assert_allclose(gs, gd, rtol=1e-7, atol=1e-10)
 
 
@@ -170,13 +172,13 @@ def test_sharded_spectral_slice_matches_dense(mesh):
                                         degree=80, maxiter=200, tol=1e-10)
             inside = (lams >= lo_e) & (lams <= hi_e)
             return jnp.sum(jnp.where(inside, lams, 0.0))
-        return f
+        return jax.jit(f)
 
     dense = band(DenseOperator)
     sharded = band(lambda m: RowShardedOperator(m, mesh))
     np.testing.assert_allclose(sharded(a), dense(a), rtol=1e-9)
-    gd = jax.grad(dense)(a)
-    gs = jax.grad(sharded)(a)
+    gd = jax.jit(jax.grad(dense))(a)
+    gs = jax.jit(jax.grad(sharded))(a)
     np.testing.assert_allclose(gs, gd, rtol=1e-6, atol=1e-9)
 
 
@@ -199,12 +201,12 @@ def test_sharded_generalized_pencil_matches_dense(mesh):
                                         DenseOperator((bmat + bmat.T) / 2),
                                         r=r, maxiter=300, tol=1e-11)
             return jnp.sum(lams * jnp.arange(1.0, r + 1))
-        return f
+        return jax.jit(f)
 
     dense = low(DenseOperator)
     sharded = low(lambda m: RowShardedOperator(m, mesh))
     np.testing.assert_allclose(sharded(a, b), dense(a, b), rtol=1e-9)
-    gd = jax.grad(dense, argnums=(0, 1))(a, b)
-    gs = jax.grad(sharded, argnums=(0, 1))(a, b)
+    gd = jax.jit(jax.grad(dense, argnums=(0, 1)))(a, b)
+    gs = jax.jit(jax.grad(sharded, argnums=(0, 1)))(a, b)
     for x, y in zip(gs, gd):
         np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-9)

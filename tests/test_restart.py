@@ -57,11 +57,11 @@ def test_restart_forward_in_dominant_eigh():
                                restart_cycles=10, extreme="min", tol=1e-11)
         return lam
 
-    val, grad = jax.value_and_grad(e0)(jnp.float64(1.0))
+    val, grad = jax.jit(jax.value_and_grad(e0))(jnp.float64(1.0))
     ex_v = tfim_exact_e0(n, 1.0)
     ex_g = jax.grad(lambda g: tfim_exact_e0(n, g))(jnp.float64(1.0))
     np.testing.assert_allclose(val, ex_v, rtol=1e-12)
     np.testing.assert_allclose(grad, ex_g, rtol=1e-12)
-    d2 = jax.grad(jax.grad(e0))(jnp.float64(1.0))
+    d2 = jax.jit(jax.grad(jax.grad(e0)))(jnp.float64(1.0))
     ex_2 = jax.grad(jax.grad(lambda g: tfim_exact_e0(n, g)))(jnp.float64(1.0))
     np.testing.assert_allclose(d2, ex_2, rtol=1e-9)

@@ -89,8 +89,8 @@ def test_sharded_bell_eigh_grad_matches_local(mesh, mode):
         lam, v = dominant_eigh(sop.with_vals(vals), k=40, extreme="min")
         return lam + jnp.sum(v ** 4)
 
-    v0, g0 = jax.value_and_grad(loss_local)(op.vals)
-    v1, g1 = jax.value_and_grad(loss_sharded)(op.vals)
+    v0, g0 = jax.jit(jax.value_and_grad(loss_local))(op.vals)
+    v1, g1 = jax.jit(jax.value_and_grad(loss_sharded))(op.vals)
     np.testing.assert_allclose(v1, v0, rtol=1e-9)
     np.testing.assert_allclose(g1, g0, rtol=1e-6, atol=1e-10)
 
@@ -126,6 +126,6 @@ def test_sharded_bell_second_derivative(mesh):
                                    symmetric=True, use_pallas=False)
     shard = lambda t: sop.with_vals(op.vals + t * pert)
 
-    d2_local = jax.grad(jax.grad(lambda t: lam_of(local, t)))(0.0)
-    d2_shard = jax.grad(jax.grad(lambda t: lam_of(shard, t)))(0.0)
+    d2_local = jax.jit(jax.grad(jax.grad(lambda t: lam_of(local, t))))(0.0)
+    d2_shard = jax.jit(jax.grad(jax.grad(lambda t: lam_of(shard, t))))(0.0)
     np.testing.assert_allclose(d2_shard, d2_local, rtol=1e-7)

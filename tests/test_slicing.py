@@ -58,21 +58,27 @@ def test_slice_guards():
 def test_slice_gradients_order2():
     """Interior-block IFT rule (deflated MINRES): check_grads to order 2
     on the sum of inside eigenvalues of a parameterized matrix."""
-    n = 40
+    # n=28/degree=56 keeps the order-2 probes affordable (n=40/degree=80
+    # cost 45 s of suite budget); the slice edges track eigenvalue INDICES
+    # so the assertion is size-independent.
+    n = 28
     a0 = np.asarray(_sym(n, seed=2))
     ew = np.linalg.eigh(a0)[0]
-    lo_e = (ew[17] + ew[16]) / 2
-    hi_e = (ew[20] + ew[19]) / 2  # 3 eigenvalues inside, r=4 buffer
+    lo_e = (ew[13] + ew[12]) / 2
+    hi_e = (ew[16] + ew[15]) / 2  # 3 eigenvalues inside, r=4 buffer
 
     def f(mat):
         sym = (mat + mat.T) / 2
         lams, v, _ = spectral_slice(DenseOperator(sym), lo_e, hi_e, r=4,
-                                    degree=80, maxiter=200, tol=1e-11)
+                                    degree=56, maxiter=160, tol=1e-11)
         w = jnp.asarray([0.0, 1.0, 2.0, 3.0])
         return jnp.sum(lams * w) + jnp.sum(v[0] ** 2)
 
-    check_grads(f, (jnp.asarray(a0),), order=2, modes=("fwd", "rev"),
-                atol=2e-3, rtol=2e-3)
+    # jit(f): check_grads re-evaluates f for FD probes at identical
+    # shapes; one compiled program (persisted across suite runs) replaces
+    # eager op-by-op dispatch of the whole filtered LOBPCG per probe.
+    check_grads(jax.jit(f), (jnp.asarray(a0),), order=2,
+                modes=("fwd", "rev"), atol=2e-3, rtol=2e-3)
 
 
 def test_slice_tfim_excited_band():
@@ -93,13 +99,13 @@ def test_slice_tfim_excited_band():
         inside = (lams >= lo_e) & (lams <= hi_e)
         return jnp.sum(jnp.where(inside, lams, 0.0)), info
 
-    (val, info) = band_sum(jnp.float64(g))
+    (val, info) = jax.jit(band_sum)(jnp.float64(g))
     n_in = int(float(info.n_inside))
     truth = ew[(ew >= lo_e) & (ew <= hi_e)]
     assert n_in == len(truth)
     np.testing.assert_allclose(float(val), truth.sum(), rtol=1e-9)
 
-    d = jax.grad(lambda gv: band_sum(gv)[0])(jnp.float64(g))
+    d = jax.jit(jax.grad(lambda gv: band_sum(gv)[0]))(jnp.float64(g))
     eps = 1e-5
 
     def oracle(gv):

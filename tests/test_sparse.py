@@ -256,15 +256,16 @@ def test_csr_lobpcg_and_spectral_slice():
     # Random sparse spectra are heavily clustered, so the block-boundary
     # gap is tiny — ask for a reachable residual (eigenvalue error goes
     # as residual^2, so values are still sharp).
-    lams, _, info = lobpcg_eigh(op, r, tol=1e-6, maxiter=600,
-                                with_info=True)
+    lams, _, info = jax.jit(lambda o: lobpcg_eigh(
+        o, r, tol=1e-6, maxiter=600, with_info=True))(op)
     assert float(info.converged) == 1.0
     np.testing.assert_allclose(lams, ew[:r], rtol=1e-7)
 
     lo_e = (ew[70] + ew[69]) / 2
     hi_e = (ew[73] + ew[72]) / 2  # 3 inside
-    sl, _, sinfo = spectral_slice(op, float(lo_e), float(hi_e), r=5,
-                                  degree=100, maxiter=250, tol=1e-8)
+    sl, _, sinfo = jax.jit(lambda o: spectral_slice(
+        o, float(lo_e), float(hi_e), r=5, degree=100, maxiter=250,
+        tol=1e-8))(op)
     inside = np.asarray(sl)[(np.asarray(sl) >= lo_e)
                             & (np.asarray(sl) <= hi_e)]
     assert float(sinfo.n_inside) == 3.0

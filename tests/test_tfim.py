@@ -37,16 +37,17 @@ def test_energy_derivatives_vs_jw_exact():
     g = jnp.asarray(g, dtype=jnp.float64)
 
     np.testing.assert_allclose(e_fn(g), jw_fn(g), atol=1e-9)
-    np.testing.assert_allclose(jax.grad(e_fn)(g), jax.grad(jw_fn)(g),
-                               atol=1e-8)
-    np.testing.assert_allclose(jax.grad(jax.grad(e_fn))(g),
+    np.testing.assert_allclose(jax.jit(jax.grad(e_fn))(g),
+                               jax.grad(jw_fn)(g), atol=1e-8)
+    np.testing.assert_allclose(jax.jit(jax.grad(jax.grad(e_fn)))(g),
                                jax.grad(jax.grad(jw_fn))(g), atol=1e-6)
 
 
 def test_fidelity_susceptibility_vs_ed():
     """chi_F through the eigensolver AD vs the sum-over-states ED oracle."""
     n, g = 8, 0.9
-    chi_ad = fidelity_susceptibility(n, g, k=80, tol=1e-12)
+    chi_ad = jax.jit(lambda gg: fidelity_susceptibility(
+        n, gg, k=80, tol=1e-12))(jnp.float64(g))
     _, _, _, chi_ed = tfim_ed_observables(n, g)
     np.testing.assert_allclose(chi_ad, chi_ed, rtol=1e-7)
 
@@ -57,9 +58,10 @@ def test_ed_observables_vs_ad_derivatives():
     g = jnp.asarray(g, dtype=jnp.float64)
     _, de_ed, d2e_ed, _ = tfim_ed_observables(n, g)
     e_fn = jax.jit(lambda g: tfim_ground_energy(n, g, k=80, tol=1e-12))
-    np.testing.assert_allclose(jax.grad(e_fn)(g), de_ed, atol=1e-8)
-    np.testing.assert_allclose(jax.grad(jax.grad(e_fn))(g), d2e_ed,
-                               atol=1e-6)
+    np.testing.assert_allclose(jax.jit(jax.grad(e_fn))(g), de_ed,
+                               atol=1e-8)
+    np.testing.assert_allclose(jax.jit(jax.grad(jax.grad(e_fn)))(g),
+                               d2e_ed, atol=1e-6)
 
 
 def test_ground_state_is_eigenvector():
@@ -90,7 +92,7 @@ def test_energy_gap():
     evals = np.linalg.eigvalsh(np.asarray(tfim_dense_hamiltonian(n, g)))
     np.testing.assert_allclose(gap, evals[1] - evals[0], rtol=1e-9)
 
-    dgap = jax.grad(gap_fn)(jnp.float64(g))
+    dgap = jax.jit(jax.grad(gap_fn))(jnp.float64(g))
     eps = 1e-6
     num = (gap_fn(jnp.float64(g + eps))
            - gap_fn(jnp.float64(g - eps))) / (2 * eps)
@@ -112,7 +114,7 @@ def test_tfim2d_matches_ed():
 
     e0 = lambda gg: dominant_eigh(tfim2d_operator(lx, ly, gg), k=1 << n,
                                   extreme="min", tol=1e-12)[0]
-    val, grad = jax.value_and_grad(e0)(jnp.float64(g))
+    val, grad = jax.jit(jax.value_and_grad(e0))(jnp.float64(g))
     evals, evecs = np.linalg.eigh(np.asarray(h))
     np.testing.assert_allclose(val, evals[0], rtol=1e-12)
     v0 = jnp.asarray(evecs[:, 0])
