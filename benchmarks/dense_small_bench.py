@@ -17,6 +17,11 @@ import json
 import sys
 import time
 
+import os
+# Runnable from a source checkout without installation: put the repo
+# root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 N_DENSE = 64
 K = 64
 N_SPINS = 10

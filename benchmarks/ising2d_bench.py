@@ -27,6 +27,10 @@ import subprocess
 import sys
 import time
 
+# Runnable from a source checkout without installation: put the repo
+# root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 CHI = 30
 STEPS = 20
 BETA = 0.5

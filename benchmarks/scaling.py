@@ -9,6 +9,12 @@ runs unchanged over ICI.
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
      JAX_PLATFORMS=cpu python benchmarks/scaling.py --n 18
+
+``--sparse`` switches the operator from the matrix-free TFIM to the
+explicit row-sharded blocked-ELL tier (`RowShardedBellOperator`) — the
+"row-partitioned synthetic sparse operator" of BASELINE config #5 as
+written — and the gradient to the full matrix-entry adjoint (one
+deflated-CG solve + lazy outer-product contraction per shard).
 """
 
 import argparse
@@ -16,6 +22,10 @@ import json
 import os
 import sys
 import time
+
+# Runnable from a source checkout without installation: put the repo
+# root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -28,38 +38,79 @@ from jax.sharding import Mesh
 
 from dominantsparseeigenad_tpu import dominant_eigh
 from dominantsparseeigenad_tpu.models import tfim_sharded_operator
+from dominantsparseeigenad_tpu.ops.sparse import random_bell_operator
+from dominantsparseeigenad_tpu.parallel import RowShardedBellOperator
 from dominantsparseeigenad_tpu.parallel.mesh import BATCH_AXIS, SHARD_AXIS
+
+
+def _tfim_timer(args, mesh):
+    """value+grad w.r.t. the coupling g through the sharded TFIM."""
+    @jax.jit
+    def solve(g):
+        op = tfim_sharded_operator(args.n, g, mesh, dtype=jnp.float32)
+        lam, _ = dominant_eigh(op, k=args.k, extreme="min", tol=1e-5,
+                               maxiter=150, reorth_passes=1)
+        return lam
+
+    def run(i):
+        out = jax.value_and_grad(solve)(jnp.float32(args.g + i * 1e-6))
+        return tuple(float(x) for x in out)
+    return run
+
+
+def _sparse_timer(args, mesh):
+    """value+grad w.r.t. the MATRIX ENTRIES through the row-sharded
+    blocked-ELL operator — distributed Lanczos forward + one deflated-CG
+    adjoint solve + the lazy per-shard outer-product contraction."""
+    op0 = random_bell_operator(jax.random.PRNGKey(0), n=1 << args.n,
+                               bs=args.bs, blocks_per_row=args.bpr,
+                               dtype=jnp.float32, use_pallas=None)
+    sop = RowShardedBellOperator.from_bell(op0, mesh, mode="all_gather")
+
+    @jax.jit
+    def val_grad(vals):
+        def loss(v):
+            lam, _ = dominant_eigh(sop.with_vals(v), k=args.k,
+                                   extreme="min", tol=1e-5, maxiter=150,
+                                   reorth_passes=1)
+            return lam
+        return jax.value_and_grad(loss)(vals)
+
+    def run(i):
+        val, grad = val_grad(sop.vals * (1.0 + i * 1e-6))
+        return float(val), float(jnp.linalg.norm(grad.ravel()))
+    return run
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--n", type=int, default=16,
+                    help="log2 of the operator dimension")
     ap.add_argument("--k", type=int, default=60)
     ap.add_argument("--g", type=float, default=1.2)
+    ap.add_argument("--sparse", action="store_true",
+                    help="row-sharded blocked-ELL operator instead of the "
+                         "matrix-free TFIM (BASELINE config #5 as written)")
+    ap.add_argument("--bs", type=int, default=64,
+                    help="sparse block size (--sparse)")
+    ap.add_argument("--bpr", type=int, default=5,
+                    help="stored blocks per block-row, odd (--sparse)")
     args = ap.parse_args()
 
     devices = jax.devices()
     counts = [p for p in (1, 2, 4, 8, 16) if p <= len(devices)]
+    label = "sparse" if args.sparse else "lanczos"
     results = {}
     for p in counts:
         mesh = Mesh(np.asarray(devices[:p]).reshape(1, p),
                     (BATCH_AXIS, SHARD_AXIS))
+        run = (_sparse_timer if args.sparse else _tfim_timer)(args, mesh)
 
-        @jax.jit
-        def solve(g):
-            op = tfim_sharded_operator(args.n, g, mesh,
-                                       dtype=jnp.float32)
-            lam, _ = dominant_eigh(op, k=args.k, extreme="min", tol=1e-5,
-                                   maxiter=150, reorth_passes=1)
-            return lam
-
-        val, grad = jax.value_and_grad(solve)(jnp.float32(args.g))
-        _ = (float(val), float(grad))
+        _ = run(0)  # compile + warm
         ts = []
         for i in range(3):
             t0 = time.perf_counter()
-            out = jax.value_and_grad(solve)(jnp.float32(args.g + i * 1e-6))
-            _ = tuple(float(x) for x in out)
+            _ = run(i)
             ts.append(time.perf_counter() - t0)
         results[p] = min(ts)
         eff = results[counts[0]] / (results[p] * p / counts[0])
@@ -70,7 +121,7 @@ def main():
     p_max = counts[-1]
     speedup = results[counts[0]] / results[p_max]
     print(json.dumps({
-        "metric": f"distributed_lanczos_speedup_{p_max}dev",
+        "metric": f"distributed_{label}_speedup_{p_max}dev",
         "value": round(speedup, 3),
         "unit": "x",
         "vs_baseline": round(speedup / p_max, 3),

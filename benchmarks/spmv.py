@@ -15,6 +15,10 @@ import os
 import sys
 import time
 
+# Runnable from a source checkout without installation: put the repo
+# root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 if os.environ.get("JAX_PLATFORMS"):
