@@ -217,7 +217,9 @@ def trg_free_energy(beta, *, chi: int = 24, n_steps: int = 24,
     # from the *requested* dtype then picks the f64-only "gram" split,
     # whose squared spectrum reconstructs noise in f32 — second
     # derivatives NaN (caught by the real-chip test lane).
-    dtype = jnp.zeros((), dtype).dtype
+    # (dtype-level canonicalization, not jnp.zeros, so no array is
+    # created and no truncation UserWarning is emitted per call.)
+    dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(dtype))
     if split_method == "auto":
         split_method = "gram" if jnp.finfo(dtype).bits >= 64 else "subspace"
     # TPU's default matmul precision is bf16 (MXU passthrough), which

@@ -24,6 +24,7 @@ _CASES = [
     ("spectrum_slice.py", ["--n", "10", "--dos-points", "10",
                           "--maxiter", "150"]),
     ("vibrational_modes.py", ["--n", "100"]),
+    ("sharded_sparse.py", ["--n", "512", "--bs", "16", "--k", "30"]),
 ]
 
 
