@@ -123,40 +123,23 @@ def _project_out(basis, w):
                           preferred_element_type=w.dtype)
 
 
-def _project_out_chunked(basis, w, i, block):
-    """``w - Q Q^H w`` reading only the chunks of ``basis`` written so far.
-
-    The full-basis projection reads all (k+1, N) rows every step even
-    though rows > i are zero — at large k that dead traffic IS the
-    Lanczos wall time (HBM-bound).  Reading ``block``-row slices up to
-    the chunk containing row ``i`` makes the per-run traffic triangular:
-    ~(1 + block/k)/2 of the full-basis cost.  Exact, not approximate —
-    the skipped rows are identically zero.
-
-    Requires ``block`` to divide ``basis.shape[0]`` (the caller pads the
-    buffer): non-tiling slices would either miss tail rows or, with
-    dynamic_slice's start clamping, overlap a chunk and project it twice.
-    """
-    assert basis.shape[0] % block == 0
-
-    def body(c, w):
-        blk = lax.dynamic_slice(basis, (c * block, 0),
-                                (block, basis.shape[1]))
-        return _project_out(blk, w)
-
-    # Chunks 0 .. i//block cover all written rows 0..i (row i+1 is not
-    # written yet at projection time); the tail of the last chunk is
-    # zero, so the masked projection is exact.
-    return lax.fori_loop(0, i // block + 1, body, w)
-
-
 def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
-                  basis, q, q_prev, beta_prev, i, reorth_block=0):
+                  basis, q, q_prev, beta_prev, i,
+                  active_rows: int | None = None):
     """One Lanczos step at index ``i``: returns (basis', q_next, beta, alpha).
 
     Shared by the fixed-k scan (:func:`lanczos`) and the early-exit while
     loop (:func:`lanczos_adaptive`).  ``basis`` is (k+1, N) row-major with
     rows > i zero; breakdown restarts with a fresh orthonormalized vector.
+
+    ``active_rows`` (static) projects against the leading
+    ``basis[:active_rows]`` slab only — the segmented-scan caller
+    guarantees every written row lies inside it.  The slab is a static
+    slice, so the projection compiles to two plain matmuls (measured at
+    HBM bandwidth on the chip: ~600 GB/s streaming the slab twice per
+    step — the exact-projection floor; halving that would need delayed/
+    s-step reorthogonalization, a numerics trade this library doesn't
+    make).
     """
     n = basis.shape[1]
     # Compute dtype comes from the carried vector, NOT the stored basis —
@@ -174,12 +157,12 @@ def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
         # Unwritten rows of `basis` are zero, so a single masked
         # projection against the full (k+1, N) block is exact — two
         # MXU matmuls instead of a python loop over vectors.  With
-        # reorth_block > 0, only written chunks are read (triangular
-        # traffic — see _project_out_chunked).
+        # active_rows set, only the slab that could contain written
+        # rows is read (triangular traffic over the whole run).
         with jax.named_scope("lanczos_reorth"):
             for _ in range(reorth_passes):  # 2 = "twice is enough"
-                if reorth_block:
-                    w = _project_out_chunked(basis, w, i, reorth_block)
+                if active_rows is not None:
+                    w = _project_out(basis[:active_rows], w)
                 else:
                     w = _project_out(basis, w)
     beta = jnp.linalg.norm(w).astype(real_dtype)
@@ -226,12 +209,16 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
           a small orthogonality cost — check with
           ``utils.diagnostics.orthogonality_loss`` before trusting it).
     reorth_chunks : 0/1 = read the full (k+1, N) basis every step (the
-          simple masked projection).  C > 1 splits the basis into C
-          row-chunks and each step reads only the chunks written so far
-          — EXACT triangular traffic, ~(1+1/C)/2 of the full cost, which
-          is the dominant wall-time term at large k (the basis no longer
-          fits in VMEM, so every step streams it from HBM).  Numerically
-          identical up to f.p. reassociation of the projection sums.
+          simple masked projection).  C > 1 splits the k steps into C
+          scan segments; segment s projects against the static slab
+          ``basis[:(s+1)*block]`` — only rows that could have been
+          written so far.  EXACT triangular traffic, ~(1+1/C)/2 of the
+          full cost, which is the dominant wall-time term at large k
+          (the basis no longer fits in VMEM, so every step streams it
+          from HBM), and each segment's projection is two plain static
+          matmuls (no dynamic-trip chunk loop, which underruns TPU HBM
+          bandwidth).  Numerically identical up to f.p. reassociation
+          of the projection sums.
     basis_dtype : storage dtype for the (k+1, N) basis history — the
           run's dominant HBM traffic.  ``jnp.bfloat16`` on an f32 operator
           halves reorthogonalization read/write bytes; the three-term
@@ -294,18 +281,40 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
     basis0 = jnp.zeros((rows, n), dtype=basis_dtype).at[0].set(
         q0.astype(basis_dtype))
 
-    def step(carry, i):
-        basis, q, q_prev, beta_prev = carry
-        basis, q_next, beta_out, alpha = _lanczos_step(
-            op, key, reorthogonalize, reorth_passes, real_dtype,
-            basis, q, q_prev, beta_prev, i, reorth_block=block)
-        return (basis, q_next, q, beta_out), (alpha, beta_out)
+    def make_step(active_rows):
+        def step(carry, i):
+            basis, q, q_prev, beta_prev = carry
+            basis, q_next, beta_out, alpha = _lanczos_step(
+                op, key, reorthogonalize, reorth_passes, real_dtype,
+                basis, q, q_prev, beta_prev, i, active_rows=active_rows)
+            return (basis, q_next, q, beta_out), (alpha, beta_out)
+        return step
 
-    (basis, _, _, _), (alphas, betas) = lax.scan(
-        step,
-        (basis0, q0, jnp.zeros_like(q0), jnp.zeros((), dtype=real_dtype)),
-        jnp.arange(k),
-    )
+    carry = (basis0, q0, jnp.zeros_like(q0), jnp.zeros((), dtype=real_dtype))
+    if block:
+        # Segmented scan: steps i in [s*block, (s+1)*block) have written
+        # rows 0..i < (s+1)*block, so segment s projects against the
+        # STATIC slab basis[:(s+1)*block] — triangular HBM traffic, with
+        # each segment's reorth two plain static matmuls (measured at
+        # parity with a dynamic-trip chunk loop on the chip, i.e. at the
+        # HBM floor, but simpler HLO and no dynamic_slice in the body).
+        # Step hi-1 writes row hi*block at most, inside the padded buffer.
+        a_parts, b_parts = [], []
+        for s in range(reorth_chunks):
+            lo, hi = s * block, min((s + 1) * block, k)
+            if lo >= k:
+                break
+            carry, (a_s, b_s) = lax.scan(
+                make_step(active_rows=(s + 1) * block),
+                carry, jnp.arange(lo, hi))
+            a_parts.append(a_s)
+            b_parts.append(b_s)
+        basis = carry[0]
+        alphas = jnp.concatenate(a_parts)
+        betas = jnp.concatenate(b_parts)
+    else:
+        (basis, _, _, _), (alphas, betas) = lax.scan(
+            make_step(active_rows=None), carry, jnp.arange(k))
     return LanczosResult(alphas=alphas, betas=betas[:-1] if k > 1
                          else jnp.zeros((0,), dtype=dtype),
                          basis=basis[:k].T)
@@ -457,9 +466,12 @@ def lanczos_adaptive(op, k: int, *, extreme: str = "min",
         def run_segment(s, seg=seg, cp=cp):
             def step(carry, i):
                 basis, q, q_prev, beta_prev, alphas, betas = carry
+                # Steps in this segment have i < cp, so written rows all
+                # lie in the static slab basis[:cp] — triangular reorth
+                # traffic, same as the segmented fixed-k scan.
                 basis, q_next, beta_out, alpha = _lanczos_step(
                     op, key, reorthogonalize, reorth_passes, real_dtype,
-                    basis, q, q_prev, beta_prev, i)
+                    basis, q, q_prev, beta_prev, i, active_rows=cp)
                 alphas = alphas.at[i].set(alpha)
                 betas = betas.at[i].set(beta_out)
                 return (basis, q_next, q, beta_out, alphas, betas), None
