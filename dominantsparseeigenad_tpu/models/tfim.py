@@ -316,8 +316,13 @@ def fidelity_susceptibility(n: int, g, *, k: int = 100, tol: float = 1e-10,
     The reference computes this with double backward through its
     Lanczos-forward / CG-backward stack (``examples/TFIM`` sparse driver);
     here one ``jax.jvp`` through the eigensolver's IFT rule yields ∂ψ/∂g
-    directly, and the deflated solve's gauge guarantees <ψ|∂ψ> = 0, so
-    chi_F = ||∂ψ/∂g||^2.
+    directly.  The TFIM Hamiltonian is REAL symmetric, so the IFT
+    tangent's normalization constraint <ψ|∂ψ> = 0 holds exactly (the
+    complex pivot-phase projection is a no-op) and subtracting the gauge
+    term |<ψ|∂ψ>|² costs one extra vdot while making the expression
+    gauge-invariant by construction — see
+    ``ops.observables.fidelity_susceptibility`` for the complex case
+    where the term is essential.
     """
     g = jnp.asarray(g, dtype=dtype)
 
@@ -325,8 +330,8 @@ def fidelity_susceptibility(n: int, g, *, k: int = 100, tol: float = 1e-10,
         _, v = tfim_ground_state(n, g, k=k, tol=tol, dtype=dtype)
         return v
 
-    _, dpsi = jax.jvp(psi, (g,), (jnp.ones_like(g),))
-    return jnp.vdot(dpsi, dpsi)
+    psi_val, dpsi = jax.jvp(psi, (g,), (jnp.ones_like(g),))
+    return jnp.vdot(dpsi, dpsi) - jnp.abs(jnp.vdot(psi_val, dpsi)) ** 2
 
 
 def tfim_ed_observables(n: int, g, dtype=jnp.float64):

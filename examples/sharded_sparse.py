@@ -26,22 +26,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-_plat = os.environ.get("JAX_PLATFORMS", "")
-if _plat not in ("", "axon"):  # baked-in axon is not a user override
-    jax.config.update("jax_platforms", _plat)
-else:
-    # A distributed driver needs a multi-device mesh; this environment
-    # exposes ONE tunneled TPU chip, so default to an 8-virtual-device
-    # CPU mesh — the same sharded program a pod slice would run.
+# A distributed driver needs a multi-device mesh.  Default to an
+# 8-virtual-device CPU mesh — the same sharded program a pod slice would
+# run — unless the user explicitly picks a platform with --platform
+# (e.g. ``--platform tpu`` on a real slice).  Gating on an explicit flag
+# rather than on environment sentinels keeps the example portable: on a
+# single-device setup the environment's platform would otherwise build a
+# trivial 1-device "mesh".  This must be decided before jax initializes
+# its backend, hence the manual argv peek ahead of argparse.
+_platform = None
+if "--platform" in sys.argv:
+    _platform = sys.argv[sys.argv.index("--platform") + 1]
+if _platform is None:
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
     jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_platforms", _platform)
 
 
 def main():
-    import numpy as np
     from dominantsparseeigenad_tpu import dominant_eigh
     from dominantsparseeigenad_tpu.ops.sparse import random_bell_operator
     from dominantsparseeigenad_tpu.parallel import (
@@ -56,11 +62,17 @@ def main():
     ap.add_argument("--mode", choices=("all_gather", "ring"),
                     default="all_gather",
                     help="vector-segment exchange strategy over ICI")
+    ap.add_argument("--platform", default=None,
+                    help="explicit JAX platform (default: 8-virtual-device"
+                         " CPU mesh)")
     args = ap.parse_args()
 
     mesh = make_mesh()
     p = mesh.devices.size
     print(f"mesh: {p} devices, exchange mode: {args.mode}")
+    if p < 2:
+        print("note: only one device visible — the sharded and local "
+              "paths below run the same single-device program")
 
     # Synthetic symmetric block-banded operator (the config-#5 shape),
     # then its row-sharded twin on the mesh.
@@ -95,6 +107,16 @@ def main():
     print(f"matrix-entry gradient: max |sharded - local| = {gdiff:.2e}")
     print(f"||d lambda / d vals|| = {float(jnp.linalg.norm(grad_s)):.6f}"
           "  (= ||v v^T on the pattern|| <= 1)")
+    # Hard parity gate (not just a print): a silent divergence between
+    # the sharded and local gradient paths must fail, including in the
+    # examples smoke test.  f32 + different reduction orders bound the
+    # legitimate gap well under this threshold.
+    tol = 1e-4 * max(1.0, float(jnp.linalg.norm(grad_l)))
+    if not (gdiff <= tol and
+            abs(float(lam_s) - float(lam_l)) <= 1e-4 * abs(float(lam_l))):
+        raise SystemExit(
+            f"PARITY FAILURE: sharded vs local gradient max-diff {gdiff:.2e}"
+            f" exceeds {tol:.2e}")
 
 
 if __name__ == "__main__":
