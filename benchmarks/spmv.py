@@ -97,18 +97,26 @@ def main():
                          "(0 = single-device kernel comparison)")
     ap.add_argument("--mode", choices=("all_gather", "ring"),
                     default="all_gather")
+    ap.add_argument("--bf16-vals", action="store_true",
+                    help="narrow-values tier: store block values in bf16 "
+                         "(f32 accumulate); halves the HBM value stream "
+                         "for ~2x nnz/s at a ~1e-2 relative matvec error "
+                         "(budget documented in ops/sparse.py)")
     args = ap.parse_args()
 
     if args.shards:
         return run_sharded(args)
 
+    vals_dtype = jnp.bfloat16 if args.bf16_vals else None
     op = random_bell_operator(jax.random.PRNGKey(2), n=args.n, bs=args.bs,
-                              blocks_per_row=args.bpr, dtype=jnp.float32)
+                              blocks_per_row=args.bpr, dtype=jnp.float32,
+                              vals_dtype=vals_dtype)
     x = jax.random.normal(jax.random.PRNGKey(3), (args.n,), jnp.float32)
     nnz = op.nnz
+    vb = op.vals.dtype.itemsize
     print(f"# backend={jax.default_backend()}  n={args.n}  "
-          f"nnz={nnz/1e9:.2f}e9  vals={nnz*4/2**30:.2f} GiB",
-          file=sys.stderr)
+          f"nnz={nnz/1e9:.2f}e9  vals={nnz*vb/2**30:.2f} GiB "
+          f"({op.vals.dtype})", file=sys.stderr)
 
     # Chain N_CHAIN dependent SpMVs inside one jit so the ~25 ms tunnel
     # round-trip amortizes away (subtracting a separately-measured
@@ -131,11 +139,25 @@ def main():
         dt = _sync_time(f, op.vals, op.cols, x) / N_CHAIN
         results[name] = nnz / dt / 1e9
         print(f"# {name}: {dt*1e3:.2f}ms/spmv (x{N_CHAIN} chained) -> "
-              f"{nnz/dt/1e9:.1f} Gnnz/s ({nnz*4/dt/1e9:.0f} GB/s)",
+              f"{nnz/dt/1e9:.1f} Gnnz/s ({nnz*vb/dt/1e9:.0f} GB/s "
+              f"value stream)", file=sys.stderr)
+
+    if args.bf16_vals:
+        # Report the tier's accuracy cost next to its speed: relative
+        # matvec error of the narrow tier vs the f32-storage oracle.
+        op32 = random_bell_operator(jax.random.PRNGKey(2), n=args.n,
+                                    bs=args.bs, blocks_per_row=args.bpr,
+                                    dtype=jnp.float32)
+        y16 = BellOperator(op.vals, op.cols, args.n,
+                           use_pallas=False)._xla_matvec(x)
+        y32 = op32._xla_matvec(x)
+        rel = float(jnp.linalg.norm(y16 - y32) / jnp.linalg.norm(y32))
+        print(f"# bf16-vals matvec rel err vs f32 storage: {rel:.2e}",
               file=sys.stderr)
 
     print(json.dumps({
-        "metric": "bell_spmv_nnz_per_s_per_chip",
+        "metric": ("bell_spmv_bf16vals_nnz_per_s_per_chip"
+                   if args.bf16_vals else "bell_spmv_nnz_per_s_per_chip"),
         "value": round(results["pallas"] * 1e9),
         "unit": "nnz/s",
         "vs_baseline": round(results["pallas"] / results["xla"], 3),

@@ -59,27 +59,40 @@ def _pick_row_group(nb: int, bs: int, itemsize: int) -> int | None:
     """Largest row group that tiles nb and keeps 2 vals buffers in budget."""
     if _ROW_GROUP:
         return _ROW_GROUP if nb % _ROW_GROUP == 0 else None
-    for g in (64, 32, 16, 8):
+    for g in (128, 64, 32, 16, 8):
         if nb % g == 0 and 2 * g * bs * bs * itemsize <= _VALS_VMEM_BUDGET:
             return g
     return None
 
 
-def _spmv_kernel(cols_ref, vals_ref, x_hbm_ref, y_ref, xg_ref, sems):
+# Gather-pipeline depth: how many grid steps of x-segment DMAs are in
+# flight at once.  The G per-step gathers are small (bs * 4 bytes each),
+# so their cost is DMA-engine latency/occupancy, not bytes; one step of
+# lookahead (classic double buffering) only hides them behind a single
+# vals-block fetch, which stops being enough once the bf16 tier halves
+# the vals stream.  Depth 4 gives each gather burst ~3 vals-fetches of
+# time to complete.  VMEM cost: depth * G * bs * 4 bytes (256 KiB at
+# G=128, bs=128) — negligible next to the vals buffers.
+_GATHER_DEPTH = 4
+
+
+def _spmv_kernel(depth, cols_ref, vals_ref, x_hbm_ref, y_ref, xg_ref,
+                 sems):
     # Grid: (row-group i, slot j).  Each step streams a (G, 1, bs, bs)
     # stack of value blocks through the Pallas pipeline (the bandwidth
     # driver) while the G needed x segments are pulled from HBM by
     # explicit sliced DMAs with dynamic offsets from scalar-prefetch —
     # dynamic *gathers* in VMEM and 1-row output blocks both violate TPU
     # tiling rules, so the gather happens at the DMA level instead.
-    # The gathers are double-buffered: step s starts step s+1's segment
-    # DMAs before computing, hiding their latency behind the matmul and
-    # the pipeline's own vals fetch (without this the ~G small-DMA
-    # latencies serialize with compute and halve throughput).
+    # The gathers run ``depth`` steps ahead of the compute (see
+    # _GATHER_DEPTH): step s starts step s+depth-1's segment DMAs, so
+    # each burst of G small DMAs has depth-1 vals-block fetches of time
+    # to land (without lookahead the ~G small-DMA latencies serialize
+    # with compute and halve throughput).
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
-    total = pl.num_programs(0) * nj
+    total = pl.num_programs(0) * nj      # static: the grid is static
     g = vals_ref.shape[0]
 
     @pl.when(j == 0)
@@ -87,13 +100,16 @@ def _spmv_kernel(cols_ref, vals_ref, x_hbm_ref, y_ref, xg_ref, sems):
         y_ref[...] = jnp.zeros_like(y_ref)
 
     s = i * nj + j
-    slot = jax.lax.rem(s, jnp.int32(2))
-    nslot = 1 - slot
+    slot = jax.lax.rem(s, jnp.int32(depth))
 
     # cols rides in scalar-prefetch SMEM *transposed* to (max_blk, nb):
     # SMEM pads the minor dimension to 128 lanes, so the natural
     # (nb, max_blk) layout would waste 128/max_blk x of the 1 MiB SMEM
     # budget and exhaust it around nb ~ 2000 block-rows.
+    # One DMA semaphore per pipeline slot, shared by that slot's G
+    # copies (each wait retires one copy's worth): per-copy semaphores
+    # would need depth*G sflag words and overflow the ~2 KiB semaphore-
+    # flag space at G=128, depth=4.
     def start_gathers(step, into_slot):
         ii = jax.lax.div(step, jnp.int32(nj))
         jj = jax.lax.rem(step, jnp.int32(nj))
@@ -101,23 +117,33 @@ def _spmv_kernel(cols_ref, vals_ref, x_hbm_ref, y_ref, xg_ref, sems):
             idx = cols_ref[jj, ii * g + r]
             pltpu.make_async_copy(
                 x_hbm_ref.at[idx], xg_ref.at[into_slot, r],
-                sems.at[into_slot, r],
+                sems.at[into_slot],
             ).start()
 
     @pl.when(s == 0)
     def _():
-        start_gathers(s, slot)
+        # Prime the pipeline: steps 0 .. depth-2 into their slots.
+        for d in range(min(depth - 1, total)):
+            start_gathers(jnp.int32(d), jnp.int32(d % depth))
 
-    @pl.when(s + 1 < total)
+    @pl.when(s + (depth - 1) < total)
     def _():
-        start_gathers(s + 1, nslot)
+        start_gathers(s + jnp.int32(depth - 1),
+                      jax.lax.rem(s + jnp.int32(depth - 1),
+                                  jnp.int32(depth)))
 
     for r in range(g):
         pltpu.make_async_copy(
-            x_hbm_ref.at[0], xg_ref.at[slot, r], sems.at[slot, r],
+            x_hbm_ref.at[0], xg_ref.at[slot, r], sems.at[slot],
         ).wait()
 
-    blocks = vals_ref[:, 0]                     # (G, bs, bs)
+    # Narrow-values tier: bf16 lives in HBM (that is where the 2x
+    # bandwidth win is); on-core the blocks are upcast to f32 in VMEM
+    # before the dot — Mosaic's batched matmul has no bf16 lowering for
+    # this (G,K)-vector rhs shape, the VPU convert is free next to the
+    # HBM stream, and the multiply then carries only the STORAGE
+    # rounding (no extra bf16 multiply error) — one clean error budget.
+    blocks = vals_ref[:, 0].astype(y_ref.dtype)  # (G, bs, bs)
     y_ref[...] += jax.lax.dot_general(
         blocks, xg_ref[slot],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -133,6 +159,13 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
         # Row count not tileable, or the index table would overflow the
         # 1 MiB scalar-memory budget -> XLA fallback.
         return _bell_spmv_xla(vals, cols, x)
+    # Narrow-values tier (vals stored bf16): ONLY the value blocks are
+    # narrow — x stays at its own (f32) dtype end to end.  The x gather
+    # is ~1/bs of the value stream, so narrowing it would buy <1%
+    # bandwidth while costing an extra rounding AND hitting Mosaic's
+    # packed-bf16 single-row memref_slice limitation in the gather DMA.
+    out_dtype = x.dtype
+    depth = min(_GATHER_DEPTH, (nb // g) * max_blk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,            # cols
@@ -143,14 +176,14 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((g, bs), lambda i, j, cols: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, g, bs), vals.dtype),      # double-buffered x
-            pltpu.SemaphoreType.DMA((2, g)),
+            pltpu.VMEM((depth, g, bs), x.dtype),     # gather pipeline
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
     )
     y = pl.pallas_call(
-        _spmv_kernel,
+        functools.partial(_spmv_kernel, depth),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, bs), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, bs), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * max_blk * bs * bs,
@@ -164,10 +197,15 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
 
 def _bell_spmv_xla(vals, cols, x):
     nb, max_blk, bs, _ = vals.shape
+    out_dtype = x.dtype
     xb = x.reshape(-1, bs)  # nb_cols may exceed nb (rectangular row panel)
-    y = jnp.einsum("ijab,ijb->ia", vals, xb[cols],
+    # Upcast narrow-stored values at the dot (no-op when dtypes agree):
+    # XLA fuses the convert into the einsum, so the HBM read stays bf16
+    # while the multiply matches the Pallas kernel's error budget
+    # (storage rounding only).
+    y = jnp.einsum("ijab,ijb->ia", vals.astype(out_dtype), xb[cols],
                    precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=x.dtype)
+                   preferred_element_type=out_dtype)
     return y.reshape(-1)
 
 

@@ -258,16 +258,45 @@ class BellOperator(LinearOperator):
     ``use_pallas=None`` auto-selects: Pallas on TPU backends, XLA einsum
     elsewhere (the two paths are numerically identical up to f32 summation
     order and are cross-checked in the tests).
+
+    Narrow-values tier (``vals`` stored bfloat16)
+    --------------------------------------------
+    The SpMV is **values-stream-bound**: per (bs, bs) block it moves
+    bs² value bytes against bs vector bytes, so at bs=128 the vals
+    stream is ~99% of HBM traffic and halving it with bf16 storage
+    nearly doubles nnz/s/chip.  Pass bf16 ``vals`` (or use
+    :meth:`astype_vals`); vectors stay in ``compute_dtype`` (default
+    f32) end to end, and the blocks are upcast to f32 *on-core* at the
+    dot (XLA fuses the convert; the Pallas kernel converts in VMEM), so
+    the HBM read is bf16 but the multiply and accumulation are full f32.
+
+    Error budget (mirrors ``basis_dtype``'s in ``ops/lanczos.py``):
+    the ONLY rounding is storage — the operator is perturbed by
+    ``||δA|| ≤ eps_bf16 ||A||`` (eps_bf16 = 2⁻⁸ ≈ 3.9e-3) once, at
+    write time.  Matvecs are exact-in-f32 applications of A+δA
+    (~4e-3 relative), eigenvalues carry ≤ eps_bf16·||A|| absolute
+    error (Weyl), eigenvectors ~eps_bf16/gap.  Use it when 2–3-digit
+    spectra suffice (coarse spectral densities, warm starts), or
+    recover full f32 accuracy by polishing against an f32 operator
+    with ``refine_eigenpair`` exactly as the bf16 Lanczos basis does.
     """
 
     def __init__(self, vals, cols, n: int, *, symmetric: bool = False,
-                 use_pallas: bool | None = None, interpret: bool = False):
+                 use_pallas: bool | None = None, interpret: bool = False,
+                 compute_dtype=None):
         self.vals = vals          # (n_br, max_blk, bs, bs)
         self.cols = cols          # (n_br, max_blk) int32
         self.n = int(n)
         self.symmetric = bool(symmetric)
         self.use_pallas = use_pallas
         self.interpret = bool(interpret)
+        if compute_dtype is None:
+            # bf16 storage is a STORAGE format, not a compute precision:
+            # Krylov vectors/reductions default to f32.
+            compute_dtype = (jnp.float32
+                             if jnp.dtype(vals.dtype) == jnp.bfloat16
+                             else vals.dtype)
+        self.compute_dtype = jnp.dtype(compute_dtype)
 
     # -- construction --------------------------------------------------------
 
@@ -299,7 +328,10 @@ class BellOperator(LinearOperator):
         nb, max_blk, bs, _ = self.vals.shape
         xb = x.reshape(nb, bs)
         gathered = xb[self.cols]                      # (nb, max_blk, bs)
-        y = jnp.einsum("ijab,ijb->ia", self.vals, gathered,
+        # Narrow-stored values are upcast AT the dot (XLA fuses the
+        # convert, so the HBM read stays bf16): the error budget is
+        # storage rounding only, matching the Pallas kernel.
+        y = jnp.einsum("ijab,ijb->ia", self.vals.astype(x.dtype), gathered,
                        preferred_element_type=x.dtype)
         return y.reshape(-1)
 
@@ -321,12 +353,21 @@ class BellOperator(LinearOperator):
         # kernel is future work; rmatvec is off the hot Lanczos loop).
         nb, max_blk, bs, _ = self.vals.shape
         xb = x.reshape(nb, bs)
-        contrib = jnp.einsum("ijab,ia->ijb", self.vals, xb,
+        contrib = jnp.einsum("ijab,ia->ijb", self.vals.astype(x.dtype), xb,
                              preferred_element_type=x.dtype)
         y = jnp.zeros((nb, bs), x.dtype).at[self.cols].add(contrib)
         return y.reshape(-1)
 
     # -- misc ----------------------------------------------------------------
+
+    def astype_vals(self, dtype):
+        """Copy with the block values cast to ``dtype`` (e.g. bf16 for
+        the narrow-values tier); Krylov vectors keep ``compute_dtype``."""
+        return type(self)(self.vals.astype(dtype), self.cols, self.n,
+                          symmetric=self.symmetric,
+                          use_pallas=self.use_pallas,
+                          interpret=self.interpret,
+                          compute_dtype=self.compute_dtype)
 
     @property
     def dim(self):
@@ -334,7 +375,9 @@ class BellOperator(LinearOperator):
 
     @property
     def dtype(self):
-        return self.vals.dtype
+        # The dtype the rest of the framework sees (Lanczos vectors,
+        # reductions): the COMPUTE dtype, not the storage dtype.
+        return self.compute_dtype
 
     @property
     def block_size(self):
@@ -346,18 +389,24 @@ class BellOperator(LinearOperator):
         return int(np.prod(self.vals.shape))
 
     def tree_flatten(self):
-        aux = (self.n, self.symmetric, self.use_pallas, self.interpret)
+        # compute_dtype rides in aux as its NAME string so the aux tuple
+        # stays hashable/comparable for jit staticness (like
+        # EighOptions.basis_dtype).
+        aux = (self.n, self.symmetric, self.use_pallas, self.interpret,
+               self.compute_dtype.name)
         return (self.vals, self.cols), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        n, symmetric, use_pallas, interpret = aux
+        n, symmetric, use_pallas, interpret, compute_dtype = aux
         return cls(*children, n, symmetric=symmetric,
-                   use_pallas=use_pallas, interpret=interpret)
+                   use_pallas=use_pallas, interpret=interpret,
+                   compute_dtype=compute_dtype)
 
 
 def random_bell_operator(key, n: int, bs: int, blocks_per_row: int, *,
-                         dtype=jnp.float32, use_pallas=None,
+                         dtype=jnp.float32, vals_dtype=None,
+                         use_pallas=None,
                          interpret: bool = False) -> BellOperator:
     """Synthetic symmetric block-banded BELL operator (BASELINE config #5).
 
@@ -379,7 +428,10 @@ def random_bell_operator(key, n: int, bs: int, blocks_per_row: int, *,
     n_off = len(offs)
 
     kd, kb = jax.random.split(key)
-    scale = 1.0 / np.sqrt((1 + 2 * n_off) * bs)
+    # Plain python float: an np.float64 scalar here silently promotes the
+    # requested-f32 values to f64 when x64 is enabled (weak typing only
+    # applies to python scalars).
+    scale = float(1.0 / np.sqrt((1 + 2 * n_off) * bs))
     diag = jax.random.normal(kd, (nb, bs, bs), dtype) * scale
     diag = (diag + jnp.swapaxes(diag, -1, -2)) / 2
     bands = jax.random.normal(kb, (n_off, nb, bs, bs), dtype) * scale
@@ -397,5 +449,10 @@ def random_bell_operator(key, n: int, bs: int, blocks_per_row: int, *,
         cols.append(src[:, None])
     vals = jnp.concatenate(slots, axis=1)
     cols = jnp.asarray(np.concatenate(cols, axis=1), jnp.int32)
-    return BellOperator(vals, cols, n, symmetric=True,
-                        use_pallas=use_pallas, interpret=interpret)
+    op = BellOperator(vals, cols, n, symmetric=True,
+                      use_pallas=use_pallas, interpret=interpret)
+    if vals_dtype is not None:
+        # Narrow-values storage tier (e.g. bf16); ``dtype`` stays the
+        # compute dtype of the Krylov vectors.
+        op = op.astype_vals(vals_dtype)
+    return op

@@ -119,7 +119,7 @@ class RowShardedBellOperator(LinearOperator):
     def __init__(self, vals, cols, n: int, mesh: Mesh, *,
                  axis: str = SHARD_AXIS, mode: str = "all_gather",
                  symmetric: bool = False, use_pallas: bool | None = None,
-                 interpret: bool = False):
+                 interpret: bool = False, compute_dtype=None):
         if mode not in ("all_gather", "ring"):
             raise ValueError(f"unknown mode {mode!r}")
         nb, max_blk, bs, bs2 = vals.shape
@@ -137,6 +137,14 @@ class RowShardedBellOperator(LinearOperator):
         self.symmetric = bool(symmetric)
         self.use_pallas = use_pallas
         self.interpret = bool(interpret)
+        if compute_dtype is None:
+            # Same narrow-values tier as BellOperator: bf16 block
+            # storage, f32 Krylov vectors/reductions (see the error
+            # budget in ops/sparse.py).
+            compute_dtype = (jnp.float32
+                             if jnp.dtype(vals.dtype) == jnp.bfloat16
+                             else vals.dtype)
+        self.compute_dtype = jnp.dtype(compute_dtype)
 
         if mode == "ring":
             # Static bucketing needs concrete host values: construct the
@@ -206,7 +214,10 @@ class RowShardedBellOperator(LinearOperator):
             # slot permutation; mask zeroes the per-row padding).
             rv = jnp.take_along_axis(
                 vals_blk, slot_idx[:, :, None, None], axis=1)
-            rv = rv * mask[:, :, None, None].astype(rv.dtype)
+            # Narrow-stored values upcast at the dot (storage-rounding-
+            # only error budget, same as the kernel paths); the segment
+            # stays at compute dtype.
+            rv = rv.astype(acc.dtype) * mask[:, :, None, None]
             xb = seg.reshape(nb_l, bs)
             acc = acc + jnp.einsum(
                 "ijab,ijb->ia", rv, xb[local_col],
@@ -219,7 +230,7 @@ class RowShardedBellOperator(LinearOperator):
         # partials reduce-scatter back to the row sharding.
         nb_l, _, bs, _ = vals_blk.shape
         nb = self.n // bs
-        contrib = jnp.einsum("ijab,ia->ijb", vals_blk,
+        contrib = jnp.einsum("ijab,ia->ijb", vals_blk.astype(x_blk.dtype),
                              x_blk.reshape(nb_l, bs),
                              precision=lax.Precision.HIGHEST,
                              preferred_element_type=x_blk.dtype)
@@ -262,7 +273,9 @@ class RowShardedBellOperator(LinearOperator):
 
     @property
     def dtype(self):
-        return self.vals.dtype
+        # Compute dtype (what Lanczos vectors/reductions use), not the
+        # block-storage dtype — they differ in the bf16 values tier.
+        return self.compute_dtype
 
     @property
     def block_size(self):
@@ -293,6 +306,7 @@ class RowShardedBellOperator(LinearOperator):
         kw.setdefault("symmetric", op.symmetric)
         kw.setdefault("use_pallas", op.use_pallas)
         kw.setdefault("interpret", op.interpret)
+        kw.setdefault("compute_dtype", op.compute_dtype)
         return cls(op.vals, op.cols, op.n, mesh, **kw)
 
     # -- pytree -----------------------------------------------------------------
@@ -301,7 +315,8 @@ class RowShardedBellOperator(LinearOperator):
         leaves = (self.vals, self.cols, self._slot_idx, self._local_col,
                   self._mask)
         aux = (self.n, self.mesh, self.axis, self.mode, self.symmetric,
-               self.use_pallas, self.interpret, self._offsets)
+               self.use_pallas, self.interpret, self._offsets,
+               self.compute_dtype.name)
         return leaves, aux
 
     @classmethod
@@ -310,5 +325,6 @@ class RowShardedBellOperator(LinearOperator):
         (obj.vals, obj.cols, obj._slot_idx, obj._local_col,
          obj._mask) = leaves
         (obj.n, obj.mesh, obj.axis, obj.mode, obj.symmetric,
-         obj.use_pallas, obj.interpret, obj._offsets) = aux
+         obj.use_pallas, obj.interpret, obj._offsets) = aux[:8]
+        obj.compute_dtype = jnp.dtype(aux[8])
         return obj

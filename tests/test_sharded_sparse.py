@@ -129,3 +129,22 @@ def test_sharded_bell_second_derivative(mesh):
     d2_local = jax.jit(jax.grad(jax.grad(lambda t: lam_of(local, t))))(0.0)
     d2_shard = jax.jit(jax.grad(jax.grad(lambda t: lam_of(shard, t))))(0.0)
     np.testing.assert_allclose(d2_shard, d2_local, rtol=1e-7)
+
+
+@pytest.mark.parametrize("mode", ["all_gather", "ring"])
+def test_sharded_bell_bf16_vals_matches_local(mesh, mode):
+    """The bf16 narrow-values tier through the sharded operator (both
+    comm modes): matvec matches the single-device bf16 BellOperator
+    exactly up to f32 summation order, and the compute dtype stays f32."""
+    op = random_bell_operator(jax.random.PRNGKey(11), n=128, bs=8,
+                              blocks_per_row=5, dtype=jnp.float32,
+                              vals_dtype=jnp.bfloat16, use_pallas=False)
+    sop = RowShardedBellOperator.from_bell(op, mesh, mode=mode)
+    assert sop.dtype == jnp.float32
+    assert sop.vals.dtype == jnp.bfloat16
+    x = jax.random.normal(jax.random.PRNGKey(12), (128,), jnp.float32)
+    y_local = op.matvec(x)
+    y_shard = sop.matvec(shard_vector(x, mesh))
+    assert y_shard.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y_shard), np.asarray(y_local),
+                               rtol=2e-6, atol=2e-6)

@@ -270,3 +270,76 @@ def test_csr_lobpcg_and_spectral_slice():
                             & (np.asarray(sl) <= hi_e)]
     assert float(sinfo.n_inside) == 3.0
     np.testing.assert_allclose(np.sort(inside), ew[70:73], rtol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# bf16 narrow-values tier (round-4: the 2x HBM-bandwidth lever)
+# ---------------------------------------------------------------------------
+
+def test_bell_bf16_vals_matvec_budget():
+    """bf16-stored values: matvec matches the f32-storage oracle within
+    the documented ~8e-3 relative budget, and the compute dtype (what
+    Lanczos sees) stays f32."""
+    n, bs = 512, 32
+    op32 = random_bell_operator(jax.random.PRNGKey(5), n=n, bs=bs,
+                                blocks_per_row=5, dtype=jnp.float32,
+                                use_pallas=False)
+    op16 = op32.astype_vals(jnp.bfloat16)
+    assert op16.vals.dtype == jnp.bfloat16
+    assert op16.dtype == jnp.float32          # compute dtype
+    x = jax.random.normal(jax.random.PRNGKey(6), (n,), jnp.float32)
+    y32 = op32.matvec(x)
+    y16 = op16.matvec(x)
+    assert y16.dtype == jnp.float32
+    rel = float(jnp.linalg.norm(y16 - y32) / jnp.linalg.norm(y32))
+    assert rel < 8e-3, rel
+    assert rel > 0  # the tier is actually active, not silently upcast
+
+
+def test_bell_bf16_vals_pallas_interpret_matches_xla():
+    """Pallas kernel (interpret mode) and XLA path share the bf16 error
+    budget bit-for-bit up to f32 summation order."""
+    n, bs = 256, 32
+    op = random_bell_operator(jax.random.PRNGKey(7), n=n, bs=bs,
+                              blocks_per_row=3, dtype=jnp.float32,
+                              vals_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(8), (n,), jnp.float32)
+    y_xla = BellOperator(op.vals, op.cols, n,
+                         use_pallas=False).matvec(x)
+    y_pal = bell_spmv(op.vals, op.cols, x, True)  # interpret=True
+    assert y_pal.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_bell_bf16_vals_eigh_and_gradient():
+    """dominant_eigh on the bf16 tier: eigenvalue within the Weyl bound
+    eps_bf16*||A|| of the f32-storage result, and the matrix-entry
+    gradient (bf16 cotangents on the vals leaf) stays finite and close
+    to the f32 gradient in direction."""
+    n, bs, k = 512, 32, 60
+    op32 = random_bell_operator(jax.random.PRNGKey(9), n=n, bs=bs,
+                                blocks_per_row=5, dtype=jnp.float32,
+                                use_pallas=False)
+    op16 = op32.astype_vals(jnp.bfloat16)
+    lam32, _ = dominant_eigh(op32, k=k, extreme="min")
+    lam16, v16 = dominant_eigh(op16, k=k, extreme="min")
+    # ||A|| ~ O(1) by construction (scale = 1/sqrt(row nnz)).
+    assert abs(float(lam16) - float(lam32)) < 1.6e-2
+    assert float(jnp.abs(jnp.linalg.norm(v16) - 1.0)) < 1e-5
+
+    def lam_of(vals):
+        o = BellOperator(vals, op16.cols, n, symmetric=True,
+                         use_pallas=False)
+        lam, _ = dominant_eigh(o, k=k, extreme="min")
+        return lam
+
+    g16 = jax.grad(lam_of)(op16.vals)
+    g32 = jax.grad(lambda v: dominant_eigh(
+        BellOperator(v, op32.cols, n, symmetric=True, use_pallas=False),
+        k=k, extreme="min")[0])(op32.vals)
+    assert g16.dtype == jnp.bfloat16
+    a, b = (np.asarray(g16, np.float64).ravel(),
+            np.asarray(g32, np.float64).ravel())
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
