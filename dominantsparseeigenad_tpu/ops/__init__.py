@@ -26,7 +26,8 @@ from .pallas_spmv import bell_spmv
 from .decomp import (eigh_safe, eigh_safe_truncated, svd_safe,
                      svd_safe_truncated)
 from .svd import dominant_svd
-from .restart import lanczos_restarted, RestartState
+from .restart import (lanczos_restarted, RestartState, restart_init,
+                      restart_cycle, restart_extract)
 from .interior import interior_eigh
 from .slicing import (spectral_slice, spectral_bounds, spectral_density,
                       trace_function, logdet, SliceInfo, SliceOptions)
@@ -53,7 +54,8 @@ __all__ = [
     "bell_spmv",
     "eigh_safe", "eigh_safe_truncated", "svd_safe",
     "svd_safe_truncated", "dominant_svd",
-    "lanczos_restarted", "RestartState", "interior_eigh",
+    "lanczos_restarted", "RestartState", "restart_init",
+    "restart_cycle", "restart_extract", "interior_eigh",
     "spectral_slice", "spectral_bounds", "spectral_density",
     "trace_function", "logdet",
     "SliceInfo", "SliceOptions",

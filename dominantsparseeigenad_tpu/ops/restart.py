@@ -103,23 +103,20 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
     return RestartState(theta=theta, y=y, s=s, q=basis[k])
 
 
-def lanczos_restarted(op, k: int = 64, *, n_restarts: int = 8,
-                      num_kept: int | None = None, extreme: str = "min",
-                      v0=None, key=None, reorth_passes: int = 2):
-    """Extremal eigenpair via thick-restart Lanczos with an (k+1, N)-window.
+def restart_init(op, k: int = 64, *, num_kept: int | None = None,
+                 extreme: str = "min", v0=None, key=None,
+                 reorth_passes: int = 2) -> RestartState:
+    """Cycle 0 of thick-restart Lanczos: one plain k-step run compressed
+    into a checkpointable :class:`RestartState`.
 
-    Parameters
-    ----------
-    op         : symmetric/Hermitian LinearOperator (or dense matrix).
-    k          : Lanczos window size per cycle.
-    n_restarts : number of restart cycles after the initial one.
-    num_kept   : Ritz vectors retained per restart (default k//4; the
-                 retained count grows by one internally for the residual
-                 coupling).
-    extreme    : "min" or "max".
-
-    Returns ``(lam, v, residual)``: the converged extremal Ritz pair and
-    its residual norm estimate ``|s_0|``.
+    Public so long runs can be driven CYCLE BY CYCLE from user code —
+    ``state = restart_init(...)``, then repeatedly
+    ``state, resid = restart_cycle(op, state, k)`` with
+    ``utils.checkpoint.save_pytree`` between cycles, and
+    :func:`restart_extract` at the end.  A killed run resumes from the
+    last saved state deterministically (rehearsed end-to-end by
+    ``tests/test_faulttolerance.py``, which SIGKILLs a worker mid-run).
+    :func:`lanczos_restarted` is this loop fused under ``lax.scan``.
     """
     from .lanczos import lanczos  # cycle 0 = plain run
 
@@ -154,18 +151,65 @@ def lanczos_restarted(op, k: int = 64, *, n_restarts: int = 8,
     beta_last = jnp.linalg.norm(w).astype(jnp.finfo(dtype).dtype)
     q = w / jnp.where(beta_last > 0, beta_last, 1.0)
     s = beta_last * sel[k - 1, :]
-    state = RestartState(theta=theta, y=y, s=jnp.real(s), q=q)
+    return RestartState(theta=theta, y=y, s=jnp.real(s), q=q)
 
-    def body(state, _):
-        new = _cycle(op, state, k, extreme, reorth_passes)
-        trimmed = RestartState(theta=new.theta[:l], y=new.y[:l],
-                               s=new.s[:l], q=new.q)
-        return trimmed, new.s[0]
 
-    state, residuals = lax.scan(body, state, None, length=n_restarts)
+def restart_cycle(op, state: RestartState, k: int, *,
+                  extreme: str = "min", reorth_passes: int = 2):
+    """One thick-restart cycle on a :class:`RestartState`.
+
+    Returns ``(state, residual)`` — the state trimmed back to the
+    retained count (ready for the next cycle or a checkpoint) and the
+    extremal pair's residual-coupling magnitude ``|s_0|``.
+    """
+    op = as_operator(op)
+    l = state.theta.shape[0]
+    new = _cycle(op, state, int(k), extreme, int(reorth_passes))
+    trimmed = RestartState(theta=new.theta[:l], y=new.y[:l],
+                           s=new.s[:l], q=new.q)
+    return trimmed, jnp.abs(new.s[0])
+
+
+def restart_extract(state: RestartState):
+    """Finalize a restart run: ``(lam, v, residual)`` of the extremal
+    Ritz pair, normalized and phase-gauged like every forward here."""
     lam = state.theta[0]
     v = state.y[0]
     v = v / jnp.linalg.norm(v)
     pivot = v[jnp.argmax(jnp.abs(v))]
     v = v * jnp.conj(jnp.sign(pivot))
     return lam, v, jnp.abs(state.s[0])
+
+
+def lanczos_restarted(op, k: int = 64, *, n_restarts: int = 8,
+                      num_kept: int | None = None, extreme: str = "min",
+                      v0=None, key=None, reorth_passes: int = 2):
+    """Extremal eigenpair via thick-restart Lanczos with an (k+1, N)-window.
+
+    Parameters
+    ----------
+    op         : symmetric/Hermitian LinearOperator (or dense matrix).
+    k          : Lanczos window size per cycle.
+    n_restarts : number of restart cycles after the initial one.
+    num_kept   : Ritz vectors retained per restart (default k//4; the
+                 retained count grows by one internally for the residual
+                 coupling).
+    extreme    : "min" or "max".
+
+    Returns ``(lam, v, residual)``: the converged extremal Ritz pair and
+    its residual norm estimate ``|s_0|``.  For checkpointed cycle-by-
+    cycle driving, use :func:`restart_init` / :func:`restart_cycle` /
+    :func:`restart_extract` — this function is the same loop fused under
+    ``lax.scan``.
+    """
+    op = as_operator(op)
+    k = int(min(k, op.dim))
+    state = restart_init(op, k, num_kept=num_kept, extreme=extreme,
+                         v0=v0, key=key, reorth_passes=reorth_passes)
+
+    def body(state, _):
+        return restart_cycle(op, state, k, extreme=extreme,
+                             reorth_passes=reorth_passes)
+
+    state, _ = lax.scan(body, state, None, length=n_restarts)
+    return restart_extract(state)
