@@ -19,7 +19,8 @@ from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
                    EighMultiOptions, refine_eigenpair)
 from .lobpcg import lobpcg_eigh, lobpcg_eigh_general, LobpcgInfo
 from .gen import dominant_eigh_gen, EighGenOptions, solve_deflated_pencil
-from .eig import dominant_eig, dominant_eig_multi, EigOptions, PowerInfo
+from .eig import (dominant_eig, dominant_eig_multi, dominant_eig_pair,
+                  EigOptions, PowerInfo)
 from .sparse import (COOOperator, CSROperator, BCOOOperator, BellOperator,
                      random_bell_operator)
 from .pallas_spmv import bell_spmv
@@ -48,6 +49,7 @@ __all__ = [
     "dominant_eigh_gen", "EighGenOptions", "solve_deflated_pencil",
     "dominant_eigh", "dominant_eigh_multi", "refine_eigenpair", "EighOptions",
     "EighMultiOptions", "dominant_eig", "dominant_eig_multi",
+    "dominant_eig_pair",
     "EigOptions", "PowerInfo",
     "COOOperator", "CSROperator", "BCOOOperator", "BellOperator",
     "random_bell_operator",

@@ -458,6 +458,168 @@ def dominant_eig(op, num_iters: int = 500, *, tol: float = 1e-10,
     return _dominant_eig(op, opts)
 
 
+@jax.tree_util.register_pytree_node_class
+class _ComplexifiedOperator(LinearOperator):
+    """A REAL operator lifted to complex vectors by splitting the matvec
+    into real/imaginary applications.  Lets the complex-pair IFT
+    tangents (:func:`_eig_tangents`) reuse the generic machinery while
+    derivatives flow to the real operator's own pytree leaves — works
+    for any backing (dense, sparse, matrix-free closure) without
+    assuming the inner matvec accepts complex inputs."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def _lift(self, f, x):
+        if not jnp.iscomplexobj(x):
+            return f(x).astype(self.dtype)
+        return (f(jnp.real(x)) + 1j * f(jnp.imag(x))).astype(self.dtype)
+
+    def matvec(self, x):
+        return self._lift(self.inner.matvec, x)
+
+    def rmatvec(self, x):
+        return self._lift(self.inner.rmatvec, x)
+
+    @property
+    def dim(self):
+        return self.inner.dim
+
+    @property
+    def dtype(self):
+        real = jnp.dtype(self.inner.dtype)
+        return jnp.dtype(jnp.complex128 if real == jnp.float64
+                         else jnp.complex64)
+
+    def tree_flatten(self):
+        return (self.inner,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.inner,) = children
+        return obj
+
+
+def _block_eigvec(b, lam):
+    """Right eigenvector of a 2x2 block ``b`` for eigenvalue ``lam``
+    (closed form; the better-conditioned of the two row formulas)."""
+    y1 = jnp.stack([b[0, 1].astype(lam.dtype), lam - b[0, 0]])
+    y2 = jnp.stack([lam - b[1, 1], b[1, 0].astype(lam.dtype)])
+    use1 = jnp.abs(b[0, 1]) >= jnp.abs(b[1, 0])
+    y = jnp.where(use1, y1, y2)
+    return y / jnp.linalg.norm(y)
+
+
+def _subspace_2(mv, n, dtype, key, num_iters, tol):
+    """Dominant 2-D invariant subspace of a real operator by orthogonal
+    (block power) iteration; returns (Q (n,2), B = Q^T A Q, resid, it)."""
+    real_dtype = jnp.finfo(dtype).dtype
+    q0 = jax.random.normal(key, (n, 2), dtype)
+    q0, _ = jnp.linalg.qr(q0)
+
+    def step(q):
+        z = jnp.stack([mv(q[:, 0]), mv(q[:, 1])], axis=1)
+        b = q.T @ z                         # 2x2 restriction
+        # Residual of the invariant-subspace equation A Q = Q B.
+        resid = (jnp.linalg.norm(z - q @ b)
+                 / jnp.maximum(jnp.linalg.norm(b), jnp.finfo(real_dtype).tiny))
+        qn, rr = jnp.linalg.qr(z)
+        # Fix QR's sign ambiguity so the iteration converges pointwise.
+        sgn = jnp.sign(jnp.where(jnp.diag(rr) == 0, 1.0, jnp.diag(rr)))
+        return qn * sgn[None, :], b, resid.astype(real_dtype)
+
+    def cond(s):
+        it, resid, _, _ = s
+        return jnp.logical_and(resid > tol, it < num_iters)
+
+    def body(s):
+        it, _, q, _ = s
+        qn, b, resid = step(q)
+        return it + 1, resid, qn, b
+
+    inf = jnp.asarray(jnp.inf, real_dtype)
+    it, resid, q, b = lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), inf, q0,
+                     jnp.zeros((2, 2), dtype)))
+    # One consistent final restriction on the returned Q.
+    _, b, resid = step(q)
+    return q, b, resid, it
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _dominant_eig_pair(op, opts: EigOptions):
+    n, dtype = op.dim, op.dtype
+    ptol = tol_floor(opts.power_tol, dtype)
+    kr, kl = jax.random.split(jax.random.PRNGKey(opts.seed))
+    qr_, br, _, _ = _subspace_2(op.matvec, n, dtype, kr,
+                                opts.num_iters, ptol)
+    ql_, bl, _, _ = _subspace_2(op.rmatvec, n, dtype, kl,
+                                opts.num_iters, ptol)
+    cdtype = _ComplexifiedOperator(op).dtype
+    tr = br[0, 0] + br[1, 1]
+    det = br[0, 0] * br[1, 1] - br[0, 1] * br[1, 0]
+    disc = tr * tr / 4 - det
+    # Complex pair when disc < 0 (lam = tr/2 + i sqrt(-disc), Im >= 0);
+    # degenerates gracefully to the dominant REAL eigenvalue otherwise.
+    lam = (tr.astype(cdtype) / 2
+           + jnp.where(disc < 0,
+                       1j * jnp.sqrt(jnp.maximum(-disc, 0.0)),
+                       jnp.sqrt(jnp.maximum(disc, 0.0))).astype(cdtype))
+    r = qr_.astype(cdtype) @ _block_eigvec(br, lam)
+    r = r / jnp.linalg.norm(r)
+    pivot = r[jnp.argmax(jnp.abs(r))]
+    r = r * jnp.conj(jnp.sign(pivot))
+    # Left vector: A^T l = lam l — same eigenvalue of B_l by spectrum
+    # symmetry of the real operator; normalized bilinearly l^T r = 1.
+    l = ql_.astype(cdtype) @ _block_eigvec(bl, lam)
+    l = l / jnp.sum(l * r)
+    return lam, l, r
+
+
+@_dominant_eig_pair.defjvp
+def _dominant_eig_pair_jvp(opts, primals, tangents):
+    (op,) = primals
+    (dop,) = tangents
+    lam, l, r = _dominant_eig_pair(op, opts)
+    opc = _ComplexifiedOperator(op)
+    dopc = _ComplexifiedOperator(dop)
+    _, dlam, dl, dr = _eig_tangents(opc, dopc, lam, l, r, opts)
+    return (lam, l, r), (dlam, dl, dr)
+
+
+def dominant_eig_pair(op, num_iters: int = 500, *, tol: float = 1e-10,
+                      maxiter: int | None = None, seed: int = 0,
+                      power_tol: float = 1e-12, solver: str = "bicgstab"):
+    """Dominant eigenvalue of a REAL square operator allowing a
+    complex-conjugate dominant PAIR — the case :func:`dominant_eig`'s
+    Perron guard diagnoses but cannot solve (no reference analogue).
+
+    Orthogonal (block power) iteration extracts the dominant 2-D
+    invariant subspace; its 2x2 restriction yields the eigenvalue in
+    closed form — ``lam = a + bi`` with ``Im lam >= 0`` (the conjugate
+    member is ``conj(lam)`` with vectors ``conj(l), conj(r)``); a
+    dominant REAL simple eigenvalue degrades gracefully to the
+    ``dominant_eig`` answer.  Derivatives of any order flow through the
+    same Nelson bordered-system IFT rule, run in complex arithmetic on
+    the real operator's lifted matvec, so ``jax.grad`` of e.g.
+    ``jnp.abs(lam)`` (spectral radius) works on any real parameterized
+    operator.
+
+    Returns ``(lam, l, r)`` complex, with ``||r|| = 1``, pivot entry of
+    ``r`` real positive, and the BILINEAR normalization ``l^T r = 1``.
+    """
+    op = as_operator(op)
+    if jnp.iscomplexobj(jnp.zeros((), op.dtype)):
+        raise ValueError("dominant_eig_pair expects a REAL operator; "
+                         "complex operators are handled by dominant_eig")
+    opts = EigOptions(num_iters=int(num_iters), tol=float(tol),
+                      maxiter=None if maxiter is None else int(maxiter),
+                      seed=int(seed), power_tol=float(power_tol),
+                      solver=solver)
+    return _dominant_eig_pair(op, opts)
+
+
 def dominant_eig_multi(op, m: int = 2, *, num_iters: int = 500,
                        tol: float = 1e-10, maxiter: int | None = None,
                        seed: int = 0, power_tol: float = 1e-12,
