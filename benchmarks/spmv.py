@@ -145,15 +145,22 @@ def main():
     if args.bf16_vals:
         # Report the tier's accuracy cost next to its speed: relative
         # matvec error of the narrow tier vs the f32-storage oracle.
-        op32 = random_bell_operator(jax.random.PRNGKey(2), n=args.n,
+        # Run at a reduced size — the storage-rounding budget is
+        # size-independent, and a full-size f32 twin plus its on-chip
+        # upcast temp on top of the bench buffers OOMs HBM.
+        n_chk = min(args.n, 1 << 16)
+        op32 = random_bell_operator(jax.random.PRNGKey(2), n=n_chk,
                                     bs=args.bs, blocks_per_row=args.bpr,
                                     dtype=jnp.float32)
-        y16 = BellOperator(op.vals, op.cols, args.n,
-                           use_pallas=False)._xla_matvec(x)
-        y32 = op32._xla_matvec(x)
+        op16 = op32.astype_vals(jnp.bfloat16)
+        xc = jax.random.normal(jax.random.PRNGKey(3), (n_chk,),
+                               jnp.float32)
+        y16 = BellOperator(op16.vals, op16.cols, n_chk,
+                           use_pallas=False).matvec(xc)
+        y32 = op32._xla_matvec(xc)
         rel = float(jnp.linalg.norm(y16 - y32) / jnp.linalg.norm(y32))
-        print(f"# bf16-vals matvec rel err vs f32 storage: {rel:.2e}",
-              file=sys.stderr)
+        print(f"# bf16-vals matvec rel err vs f32 storage: {rel:.2e} "
+              f"(n={n_chk})", file=sys.stderr)
 
     print(json.dumps({
         "metric": ("bell_spmv_bf16vals_nnz_per_s_per_chip"

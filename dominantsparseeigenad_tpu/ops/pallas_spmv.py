@@ -24,6 +24,27 @@ AD is routed through the XLA path by ``jax.custom_jvp`` below — the Pallas
 kernel stays forward-only (it is only ever on the non-differentiated
 Lanczos/CG hot loop; eigensolver gradients come from the IFT rules, never
 from differentiating the iteration).
+
+ROOFLINE (measured on the v5e chip, n=2^19, bs=128, 17 blocks/row, 20
+chained SpMVs; HBM peak ~819 GB/s):
+
+* f32 values: 154.4 Gnnz/s = 618 GB/s value stream; with the x gathers
+  (bs·4 B per bs² block bytes ≈ 1.6%) and the y write, ~630 GB/s total
+  = **77% of peak** (XLA fallback: 612 GB/s).
+* bf16 values (narrow tier): 263 Gnnz/s = **1.70x** the f32 tier at a
+  measured 1.7e-3 matvec error — 527 GB/s value stream ≈ 67% of peak
+  (XLA fallback: 514 GB/s).
+
+Where the residual gap lives: the per-step x gathers.  Each grid step
+issues G small (bs·4 B = 512 B) DMAs whose cost is engine
+latency/occupancy, not bytes — a fixed time that does NOT shrink when
+the value stream halves, which is why the bf16 tier lands at 1.7x
+rather than 2.0x and a few points lower on %-of-peak.  Measured
+levers: gather-pipeline depth 2 -> 4 plus row group 64 -> 128 took the
+bf16 tier 250 -> 264 Gnnz/s; the row-group sweep below sets the f32
+point.  Closing the rest would need coalescing the per-row gathers
+into block-level DMAs, which requires contiguity the generic BELL
+format does not guarantee (a banded-matrix special case could).
 """
 
 from __future__ import annotations

@@ -330,8 +330,13 @@ class BellOperator(LinearOperator):
         gathered = xb[self.cols]                      # (nb, max_blk, bs)
         # Narrow-stored values are upcast AT the dot (XLA fuses the
         # convert, so the HBM read stays bf16): the error budget is
-        # storage rounding only, matching the Pallas kernel.
+        # storage rounding only, matching the Pallas kernel.  HIGHEST
+        # precision — without it, TPU's DEFAULT matmul precision rounds
+        # f32 operands to bf16, silently degrading the f32 tier to the
+        # narrow tier's accuracy (caught by the bench's error check
+        # reading exactly 0 between the two tiers).
         y = jnp.einsum("ijab,ijb->ia", self.vals.astype(x.dtype), gathered,
+                       precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=x.dtype)
         return y.reshape(-1)
 
@@ -354,6 +359,7 @@ class BellOperator(LinearOperator):
         nb, max_blk, bs, _ = self.vals.shape
         xb = x.reshape(nb, bs)
         contrib = jnp.einsum("ijab,ia->ijb", self.vals.astype(x.dtype), xb,
+                             precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=x.dtype)
         y = jnp.zeros((nb, bs), x.dtype).at[self.cols].add(contrib)
         return y.reshape(-1)
