@@ -35,16 +35,18 @@ chained SpMVs; HBM peak ~819 GB/s):
   measured 1.7e-3 matvec error — 527 GB/s value stream ≈ 67% of peak
   (XLA fallback: 514 GB/s).
 
-Where the residual gap lives: the per-step x gathers.  Each grid step
-issues G small (bs·4 B = 512 B) DMAs whose cost is engine
-latency/occupancy, not bytes — a fixed time that does NOT shrink when
-the value stream halves, which is why the bf16 tier lands at 1.7x
-rather than 2.0x and a few points lower on %-of-peak.  Measured
-levers: gather-pipeline depth 2 -> 4 plus row group 64 -> 128 took the
-bf16 tier 250 -> 264 Gnnz/s; the row-group sweep below sets the f32
-point.  Closing the rest would need coalescing the per-row gathers
-into block-level DMAs, which requires contiguity the generic BELL
-format does not guarantee (a banded-matrix special case could).
+Where the residual gap lives (fitted from the f32/bf16 pair, which
+share the grid but halve the bytes): the streaming rate itself is
+~720 GB/s, plus a ~2 us FIXED cost per grid step that does not shrink
+with the value stream — which is why the bf16 tier lands at ~1.7x
+rather than 2.0x.  Measured levers: gather-pipeline depth 2 -> 4 plus
+row group 64 -> 128 took the bf16 tier 250 -> 264; the banded
+slot-plan slab DMAs (one (G, bs) copy per step instead of G row
+gathers, `detect_slot_plan`) bound the gather term.  The remaining
+fixed cost matches the (bs, bs) x (bs,) block-GEMV on the MXU — a
+vector rhs uses 1/bs of the systolic columns (~2.7 us/step at 1-pass
+bf16) — i.e. the narrow tier is at the MXU GEMV floor, not a memory
+limit; only a multi-vector (SpMM) workload would move it.
 """
 
 from __future__ import annotations
@@ -97,8 +99,37 @@ def _pick_row_group(nb: int, bs: int, itemsize: int) -> int | None:
 _GATHER_DEPTH = 4
 
 
-def _spmv_kernel(depth, cols_ref, vals_ref, x_hbm_ref, y_ref, xg_ref,
-                 sems):
+def detect_slot_plan(cols, nb: int):
+    """Static per-slot fetch plan from CONCRETE block-column indices.
+
+    Slot ``j`` is a *band* when its column indices are a ring offset of
+    the row index: ``cols[i, j] == (i + o) % nb`` for a fixed ``o`` —
+    true for every slot of block-banded/circulant operators (e.g. the
+    BASELINE config-#5 family, where each stored band is exactly such a
+    slot).  A banded slot's x segment for a row group is a CONTIGUOUS
+    (G, bs) slab (mod wrap), so the kernel fetches it with ONE slab DMA
+    instead of G per-row gathers — removing the DMA-engine occupancy
+    the roofline note above identifies as the residual bottleneck.
+    Returns a hashable tuple of ("band", o) / ("gather", 0) entries, or
+    None when no slot is banded (the generic gather kernel then runs
+    unchanged).
+    """
+    import numpy as np
+    cs = np.asarray(cols)
+    i = np.arange(nb)
+    plan, any_band = [], False
+    for j in range(cs.shape[1]):
+        o = int(cs[0, j]) % nb
+        if np.array_equal(cs[:, j], (i + o) % nb):
+            plan.append(("band", o))
+            any_band = True
+        else:
+            plan.append(("gather", 0))
+    return tuple(plan) if any_band else None
+
+
+def _spmv_kernel(depth, plan, cols_ref, vals_ref, x_hbm_ref, y_ref,
+                 xg_ref, sems):
     # Grid: (row-group i, slot j).  Each step streams a (G, 1, bs, bs)
     # stack of value blocks through the Pallas pipeline (the bandwidth
     # driver) while the G needed x segments are pulled from HBM by
@@ -131,15 +162,37 @@ def _spmv_kernel(depth, cols_ref, vals_ref, x_hbm_ref, y_ref, xg_ref,
     # copies (each wait retires one copy's worth): per-copy semaphores
     # would need depth*G sflag words and overflow the ~2 KiB semaphore-
     # flag space at G=128, depth=4.
-    def start_gathers(step, into_slot):
-        ii = jax.lax.div(step, jnp.int32(nj))
-        jj = jax.lax.rem(step, jnp.int32(nj))
+    nb = pl.num_programs(0) * g
+
+    def _row_gathers(jj_static, ii, into_slot):
         for r in range(g):
-            idx = cols_ref[jj, ii * g + r]
+            idx = cols_ref[jj_static, ii * g + r]
             pltpu.make_async_copy(
                 x_hbm_ref.at[idx], xg_ref.at[into_slot, r],
                 sems.at[into_slot],
             ).start()
+
+    def start_gathers(step, into_slot):
+        ii = jax.lax.div(step, jnp.int32(nj))
+        jj = jax.lax.rem(step, jnp.int32(nj))
+        if plan is None:
+            _row_gathers(jj, ii, into_slot)
+            return
+        # Static per-slot dispatch (the plan is trace-time data): banded
+        # slots fetch their whole (G, bs) slab in ONE DMA — the caller
+        # padded x by G rows so the ring wrap never splits the slab.
+        for j_st, (kind, off) in enumerate(plan):
+            @pl.when(jj == j_st)
+            def _(j_st=j_st, kind=kind, off=off):
+                if kind == "band":
+                    start = jax.lax.rem(ii * g + jnp.int32(off),
+                                        jnp.int32(nb))
+                    pltpu.make_async_copy(
+                        x_hbm_ref.at[pl.ds(start, g)],
+                        xg_ref.at[into_slot], sems.at[into_slot],
+                    ).start()
+                else:
+                    _row_gathers(j_st, ii, into_slot)
 
     @pl.when(s == 0)
     def _():
@@ -153,26 +206,53 @@ def _spmv_kernel(depth, cols_ref, vals_ref, x_hbm_ref, y_ref, xg_ref,
                       jax.lax.rem(s + jnp.int32(depth - 1),
                                   jnp.int32(depth)))
 
-    for r in range(g):
-        pltpu.make_async_copy(
-            x_hbm_ref.at[0], xg_ref.at[slot, r], sems.at[slot],
-        ).wait()
+    if plan is None:
+        for r in range(g):
+            pltpu.make_async_copy(
+                x_hbm_ref.at[0], xg_ref.at[slot, r], sems.at[slot],
+            ).wait()
+    else:
+        for j_st, (kind, _off) in enumerate(plan):
+            @pl.when(j == j_st)
+            def _(kind=kind):
+                if kind == "band":
+                    pltpu.make_async_copy(
+                        x_hbm_ref.at[pl.ds(0, g)], xg_ref.at[slot],
+                        sems.at[slot],
+                    ).wait()
+                else:
+                    for r in range(g):
+                        pltpu.make_async_copy(
+                            x_hbm_ref.at[0], xg_ref.at[slot, r],
+                            sems.at[slot],
+                        ).wait()
 
     # Narrow-values tier: bf16 lives in HBM (that is where the 2x
     # bandwidth win is); on-core the blocks are upcast to f32 in VMEM
-    # before the dot — Mosaic's batched matmul has no bf16 lowering for
-    # this (G,K)-vector rhs shape, the VPU convert is free next to the
-    # HBM stream, and the multiply then carries only the STORAGE
-    # rounding (no extra bf16 multiply error) — one clean error budget.
+    # before the dot (Mosaic's batched matmul has no bf16 lowering for
+    # this (G,K)-vector rhs shape), then multiplied at DEFAULT (single
+    # bf16-pass) precision: re-rounding the upcast blocks is a NO-OP —
+    # they are exactly bf16 — so only the f32 x picks up one extra
+    # rounding (~budget x2, still inside the documented 3.9e-3), while
+    # the matmul runs in 1 MXU pass instead of HIGHEST's 3.  That
+    # matters because a (bs,bs)x(bs,) block GEMV uses 1/bs of the
+    # systolic array: at HIGHEST the 3-pass GEMV becomes the kernel
+    # floor (~4.4 ms/spmv at n=2^19) once bf16 storage halves the HBM
+    # time below it.  The f32 tier keeps HIGHEST — its data is genuine
+    # f32 and it stays HBM-bound anyway.
     blocks = vals_ref[:, 0].astype(y_ref.dtype)  # (G, bs, bs)
+    prec = (jax.lax.Precision.DEFAULT
+            if vals_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     y_ref[...] += jax.lax.dot_general(
         blocks, xg_ref[slot],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,    # full f32, not bf16 passes
+        precision=prec,
         preferred_element_type=y_ref.dtype)
 
 
-def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
+def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False,
+                      slot_plan=None):
     nb, max_blk, bs, _ = vals.shape
     g = _pick_row_group(nb, bs, vals.dtype.itemsize)
     smem_bytes = max_blk * (-(-nb // 128) * 128) * 4
@@ -180,6 +260,8 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
         # Row count not tileable, or the index table would overflow the
         # 1 MiB scalar-memory budget -> XLA fallback.
         return _bell_spmv_xla(vals, cols, x)
+    if slot_plan is not None and len(slot_plan) != max_blk:
+        slot_plan = None  # stale plan (pattern changed); fall back
     # Narrow-values tier (vals stored bf16): ONLY the value blocks are
     # narrow — x stays at its own (f32) dtype end to end.  The x gather
     # is ~1/bs of the value stream, so narrowing it would buy <1%
@@ -187,6 +269,14 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
     # packed-bf16 single-row memref_slice limitation in the gather DMA.
     out_dtype = x.dtype
     depth = min(_GATHER_DEPTH, (nb // g) * max_blk)
+
+    xb = x.reshape(-1, bs)
+    if slot_plan is not None:
+        # Banded slots fetch (G, bs) slabs at ring offsets; padding x
+        # with its own first G rows makes every slab contiguous (no
+        # wrap split, which a fixed-size DMA could not express).  The
+        # copy is nb*bs*4 bytes — ~1/(max_blk*bs) of the value stream.
+        xb = jnp.concatenate([xb, xb[:g]], axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,            # cols
@@ -202,7 +292,7 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
         ],
     )
     y = pl.pallas_call(
-        functools.partial(_spmv_kernel, depth),
+        functools.partial(_spmv_kernel, depth, slot_plan),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, bs), out_dtype),
         interpret=interpret,
@@ -212,7 +302,7 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False):
             + x.size * x.dtype.itemsize * max_blk,
             transcendentals=0,
         ),
-    )(cols.T, vals, x.reshape(-1, bs))
+    )(cols.T, vals, xb)
     return y.reshape(-1)
 
 
@@ -230,8 +320,8 @@ def _bell_spmv_xla(vals, cols, x):
     return y.reshape(-1)
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(3,))
-def bell_spmv(vals, cols, x, interpret: bool = False):
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4))
+def bell_spmv(vals, cols, x, interpret: bool = False, slot_plan=None):
     """y = A x for a blocked-ELL matrix; Pallas kernel forward, XLA math
     for derivatives (bilinear in (vals, x), so the JVP is two more SpMVs).
 
@@ -240,15 +330,20 @@ def bell_spmv(vals, cols, x, interpret: bool = False):
     with ``cols`` indexing block-columns in [0, nb_cols) — this is how the
     row-sharded distributed operator applies its local panel against the
     gathered global vector.  The square case is nb_cols == nb_rows.
+
+    ``slot_plan`` is the static banded-slot fetch plan from
+    :func:`detect_slot_plan` (None = generic per-row gathers); it only
+    applies to square operators (the panel case keeps gathers).
     """
-    return _bell_spmv_pallas(vals, cols, x, interpret=interpret)
+    return _bell_spmv_pallas(vals, cols, x, interpret=interpret,
+                             slot_plan=slot_plan)
 
 
 @bell_spmv.defjvp
-def _bell_spmv_jvp(interpret, primals, tangents):
+def _bell_spmv_jvp(interpret, slot_plan, primals, tangents):
     vals, cols, x = primals
     dvals, _, dx = tangents  # cols is integer -> float0 tangent, ignored
-    y = bell_spmv(vals, cols, x, interpret)
+    y = bell_spmv(vals, cols, x, interpret, slot_plan)
     # Tangents go through the XLA einsum/gather path: those are standard
     # linear ops, so JAX can transpose them (reverse mode) and
     # differentiate them again (arbitrary order), which a Pallas call in

@@ -283,13 +283,23 @@ class BellOperator(LinearOperator):
 
     def __init__(self, vals, cols, n: int, *, symmetric: bool = False,
                  use_pallas: bool | None = None, interpret: bool = False,
-                 compute_dtype=None):
+                 compute_dtype=None, slot_plan="auto"):
         self.vals = vals          # (n_br, max_blk, bs, bs)
         self.cols = cols          # (n_br, max_blk) int32
         self.n = int(n)
         self.symmetric = bool(symmetric)
         self.use_pallas = use_pallas
         self.interpret = bool(interpret)
+        if slot_plan == "auto":
+            # Static banded-slot detection (one slab DMA replaces G
+            # row gathers in the Pallas kernel — see
+            # pallas_spmv.detect_slot_plan).  Needs concrete column
+            # indices; constructing under jit keeps the generic path.
+            slot_plan = None
+            if not isinstance(cols, jax.core.Tracer):
+                from .pallas_spmv import detect_slot_plan
+                slot_plan = detect_slot_plan(cols, vals.shape[0])
+        self.slot_plan = slot_plan
         if compute_dtype is None:
             # bf16 storage is a STORAGE format, not a compute precision:
             # Krylov vectors/reductions default to f32.
@@ -342,8 +352,8 @@ class BellOperator(LinearOperator):
 
     def _pallas_matvec(self, x):
         from .pallas_spmv import bell_spmv
-        return bell_spmv(self.vals, self.cols, x,
-                         interpret=self.interpret)
+        return bell_spmv(self.vals, self.cols, x, self.interpret,
+                         self.slot_plan)
 
     def matvec(self, x):
         use = self.use_pallas
@@ -373,7 +383,8 @@ class BellOperator(LinearOperator):
                           symmetric=self.symmetric,
                           use_pallas=self.use_pallas,
                           interpret=self.interpret,
-                          compute_dtype=self.compute_dtype)
+                          compute_dtype=self.compute_dtype,
+                          slot_plan=self.slot_plan)
 
     @property
     def dim(self):
@@ -397,17 +408,18 @@ class BellOperator(LinearOperator):
     def tree_flatten(self):
         # compute_dtype rides in aux as its NAME string so the aux tuple
         # stays hashable/comparable for jit staticness (like
-        # EighOptions.basis_dtype).
+        # EighOptions.basis_dtype); slot_plan is already a hashable
+        # static tuple (or None).
         aux = (self.n, self.symmetric, self.use_pallas, self.interpret,
-               self.compute_dtype.name)
+               self.compute_dtype.name, self.slot_plan)
         return (self.vals, self.cols), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        n, symmetric, use_pallas, interpret, compute_dtype = aux
+        n, symmetric, use_pallas, interpret, compute_dtype, slot_plan = aux
         return cls(*children, n, symmetric=symmetric,
                    use_pallas=use_pallas, interpret=interpret,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, slot_plan=slot_plan)
 
 
 def random_bell_operator(key, n: int, bs: int, blocks_per_row: int, *,

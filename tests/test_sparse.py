@@ -343,3 +343,35 @@ def test_bell_bf16_vals_eigh_and_gradient():
             np.asarray(g32, np.float64).ravel())
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.999, cos
+
+
+def test_bell_banded_slot_plan_detection_and_parity():
+    """Banded-slot fast path: random_bell_operator's slots are all ring
+    bands, detection must find them, and the slab-DMA kernel (interpret
+    mode) must match the XLA oracle exactly — including the ring-wrap
+    rows the x padding covers."""
+    from dominantsparseeigenad_tpu.ops.pallas_spmv import (bell_spmv,
+                                                           detect_slot_plan)
+
+    n, bs = 512, 32
+    op = random_bell_operator(jax.random.PRNGKey(13), n=n, bs=bs,
+                              blocks_per_row=5, dtype=jnp.float32,
+                              use_pallas=False)
+    assert op.slot_plan is not None
+    assert all(kind == "band" for kind, _ in op.slot_plan)
+    assert detect_slot_plan(op.cols, op.vals.shape[0]) == op.slot_plan
+
+    x = jax.random.normal(jax.random.PRNGKey(14), (n,), jnp.float32)
+    y_plan = bell_spmv(op.vals, op.cols, x, True, op.slot_plan)
+    y_gather = bell_spmv(op.vals, op.cols, x, True, None)
+    y_xla = op.matvec(x)
+    np.testing.assert_allclose(np.asarray(y_plan), np.asarray(y_xla),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y_plan), np.asarray(y_gather),
+                               rtol=1e-6, atol=1e-6)
+
+    # A genuinely irregular pattern must NOT be declared banded.
+    a = _random_sparse_sym(128, density=0.2, seed=3)
+    irr = BellOperator.from_dense(a, bs=16, use_pallas=False)
+    assert irr.slot_plan is None or any(
+        kind == "gather" for kind, _ in irr.slot_plan)
