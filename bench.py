@@ -375,6 +375,12 @@ def run_aux_configs(record: dict) -> None:
         # ~4e-3 storage-rounding budget (ops/sparse.py).
         record["config5_bf16vals_nnz_per_s"] = r.get("value")
         record["config5_bf16vals_pallas_vs_xla"] = r.get("vs_baseline")
+    r = _aux_config("spmv.py", ("--spmm", "8"))
+    if r:
+        # SpMM tier: the block solvers' workload — r vectors ride one
+        # value stream (vs_baseline = speedup over r chained SpMVs).
+        record["config5_spmm8_nnzr_per_s"] = r.get("value")
+        record["config5_spmm8_vs_chained"] = r.get("vs_baseline")
     r = _aux_config("restart_bench.py", ("--n", "24"))
     if r:
         # Restart-tier scaling artifact (judge ask r3-#4): N=24 16.8M-dim

@@ -97,6 +97,11 @@ def main():
                          "(0 = single-device kernel comparison)")
     ap.add_argument("--mode", choices=("all_gather", "ring"),
                     default="all_gather")
+    ap.add_argument("--spmm", type=int, default=0, metavar="R",
+                    help="benchmark the SpMM tier: A @ X for an (N, R) "
+                         "block (the block solvers' workload); reports "
+                         "effective nnz*R/s and the speedup over R "
+                         "chained SpMVs")
     ap.add_argument("--bf16-vals", action="store_true",
                     help="narrow-values tier: store block values in bf16 "
                          "(f32 accumulate); halves the HBM value stream "
@@ -129,6 +134,41 @@ def main():
                 return y / jnp.linalg.norm(y)
             return jax.lax.fori_loop(0, N_CHAIN, body, xx)
         return jax.jit(run)
+
+    if args.spmm:
+        r = args.spmm
+        from dominantsparseeigenad_tpu import bell_spmm
+        X = jax.random.normal(jax.random.PRNGKey(3), (args.n, r),
+                              jnp.float32)
+
+        def chain_mm(once):
+            def run(v, c, xx):
+                def body(_, cur):
+                    y = once(v, c, cur)
+                    return y / jnp.linalg.norm(y)
+                return jax.lax.fori_loop(0, N_CHAIN, body, xx)
+            return jax.jit(run)
+
+        f_mm = chain_mm(lambda v, c, xx: bell_spmm(v, c, xx, False,
+                                                   op.slot_plan))
+        f_cols = chain_mm(lambda v, c, xx: jnp.stack(
+            [bell_spmv(v, c, xx[:, j], False, op.slot_plan)
+             for j in range(r)], axis=1))
+        dt_mm = _sync_time(lambda v, c, xx: f_mm(v, c, xx)[:, 0],
+                           op.vals, op.cols, X) / N_CHAIN
+        dt_cols = _sync_time(lambda v, c, xx: f_cols(v, c, xx)[:, 0],
+                             op.vals, op.cols, X) / N_CHAIN
+        eff = nnz * r / dt_mm
+        print(f"# spmm r={r}: {dt_mm*1e3:.2f}ms vs {dt_cols*1e3:.2f}ms "
+              f"for {r} chained SpMVs ({dt_cols/dt_mm:.1f}x) -> "
+              f"{eff/1e9:.0f} Gnnz*r/s", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"bell_spmm_r{r}_nnzr_per_s_per_chip",
+            "value": round(eff),
+            "unit": "nnz*r/s",
+            "vs_baseline": round(dt_cols / dt_mm, 3),
+        }))
+        return
 
     f_pal = chain(lambda v, c, xx: bell_spmv(v, c, xx, False))
     f_xla = chain(lambda v, c, xx: BellOperator(

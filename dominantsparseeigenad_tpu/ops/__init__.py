@@ -23,7 +23,7 @@ from .eig import (dominant_eig, dominant_eig_multi, dominant_eig_pair,
                   EigOptions, PowerInfo)
 from .sparse import (COOOperator, CSROperator, BCOOOperator, BellOperator,
                      random_bell_operator)
-from .pallas_spmv import bell_spmv
+from .pallas_spmv import bell_spmm, bell_spmv
 from .decomp import (eigh_safe, eigh_safe_truncated, svd_safe,
                      svd_safe_truncated)
 from .svd import dominant_svd
@@ -53,7 +53,7 @@ __all__ = [
     "EigOptions", "PowerInfo",
     "COOOperator", "CSROperator", "BCOOOperator", "BellOperator",
     "random_bell_operator",
-    "bell_spmv",
+    "bell_spmv", "bell_spmm",
     "eigh_safe", "eigh_safe_truncated", "svd_safe",
     "svd_safe_truncated", "dominant_svd",
     "lanczos_restarted", "RestartState", "restart_init",

@@ -46,7 +46,13 @@ gathers, `detect_slot_plan`) bound the gather term.  The remaining
 fixed cost matches the (bs, bs) x (bs,) block-GEMV on the MXU — a
 vector rhs uses 1/bs of the systolic columns (~2.7 us/step at 1-pass
 bf16) — i.e. the narrow tier is at the MXU GEMV floor, not a memory
-limit; only a multi-vector (SpMM) workload would move it.
+limit; only a multi-vector (SpMM) workload moves it, and the SpMM tier
+(:func:`bell_spmm`, what the block solvers call) does exactly that:
+
+* r=8  f32: 7.41 ms for all 8 vectors — vs 49.98 ms chained SpMVs
+  (**6.7x**; the extra 7 vectors ride the same value stream for free);
+* r=32 f32: 9.27 ms (**21x**, 3.9 T(nnz·r)/s effective);
+* r=8 bf16: 4.35 ms (= the bf16 SpMV time — still value-stream-bound).
 """
 
 from __future__ import annotations
@@ -78,12 +84,16 @@ _ROW_GROUP = int(os.environ.get("DSE_SPMV_ROW_GROUP", "0"))
 _VALS_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _pick_row_group(nb: int, bs: int, itemsize: int) -> int | None:
-    """Largest row group that tiles nb and keeps 2 vals buffers in budget."""
+def _pick_row_group(nb: int, bs: int, itemsize: int,
+                    r: int = 1) -> int | None:
+    """Largest row group that tiles nb and keeps 2 vals buffers (plus the
+    r-wide gather pipeline, SpMM case) in budget."""
     if _ROW_GROUP:
         return _ROW_GROUP if nb % _ROW_GROUP == 0 else None
     for g in (128, 64, 32, 16, 8):
-        if nb % g == 0 and 2 * g * bs * bs * itemsize <= _VALS_VMEM_BUDGET:
+        if nb % g == 0 and (2 * g * bs * bs * itemsize
+                            + (_GATHER_DEPTH + 1) * g * bs * r * 4
+                            <= _VALS_VMEM_BUDGET):
             return g
     return None
 
@@ -244,17 +254,36 @@ def _spmv_kernel(depth, plan, cols_ref, vals_ref, x_hbm_ref, y_ref,
     prec = (jax.lax.Precision.DEFAULT
             if vals_ref.dtype == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
-    y_ref[...] += jax.lax.dot_general(
-        blocks, xg_ref[slot],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        precision=prec,
-        preferred_element_type=y_ref.dtype)
+    xg = xg_ref[slot]
+    if xg.ndim == 2:
+        # SpMV: (G, bs, bs) x (G, bs) block GEMV.
+        y_ref[...] += jax.lax.dot_general(
+            blocks, xg,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=prec,
+            preferred_element_type=y_ref.dtype)
+    else:
+        # SpMM: xg is (G, r, bs) (r in the sublane slot); contract the
+        # shared bs index with the blocks' COLUMN index:
+        # y[o, a] = sum_b x[o, b] A[a, b] — a real MXU matmul per block.
+        y_ref[...] += jax.lax.dot_general(
+            xg, blocks,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            precision=prec,
+            preferred_element_type=y_ref.dtype)
 
 
 def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False,
                       slot_plan=None):
+    """Shared Pallas driver for SpMV (``x`` (N,)) and SpMM (``x``
+    (N, r)): the kernel body is shape-agnostic — the gather/slab DMAs
+    and the batched dot pick up the trailing r dimension from the ref
+    shapes, and an (N, r) block turns the per-block vector product into
+    a real (bs, bs) x (bs, r) MXU matmul."""
     nb, max_blk, bs, _ = vals.shape
-    g = _pick_row_group(nb, bs, vals.dtype.itemsize)
+    rhs_r = None if x.ndim == 1 else x.shape[-1]
+    extra = () if rhs_r is None else (rhs_r,)
+    g = _pick_row_group(nb, bs, vals.dtype.itemsize, rhs_r or 1)
     smem_bytes = max_blk * (-(-nb // 128) * 128) * 4
     if g is None or smem_bytes > 768 * 1024:
         # Row count not tileable, or the index table would overflow the
@@ -270,12 +299,21 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False,
     out_dtype = x.dtype
     depth = min(_GATHER_DEPTH, (nb // g) * max_blk)
 
-    xb = x.reshape(-1, bs)
+    if rhs_r is None:
+        xb = x.reshape(-1, bs)
+        blk_shape = (g, bs)
+    else:
+        # SpMM rhs rides as (nb, r, bs): r in the SUBLANE position so
+        # the minor dim stays the full 128 lanes — an r-minor layout is
+        # tile-padded 128/r-fold in HBM and its sub-tile memref slices
+        # crash Mosaic's compile helper.  Transposed back at the end.
+        xb = jnp.swapaxes(x.reshape(-1, bs, rhs_r), 1, 2)
+        blk_shape = (g, rhs_r, bs)
     if slot_plan is not None:
-        # Banded slots fetch (G, bs) slabs at ring offsets; padding x
+        # Banded slots fetch (G, ...) slabs at ring offsets; padding x
         # with its own first G rows makes every slab contiguous (no
         # wrap split, which a fixed-size DMA could not express).  The
-        # copy is nb*bs*4 bytes — ~1/(max_blk*bs) of the value stream.
+        # copy is nb*bs*(r*)4 bytes — small next to the value stream.
         xb = jnp.concatenate([xb, xb[:g]], axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -285,39 +323,49 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False,
             pl.BlockSpec((g, 1, bs, bs), lambda i, j, cols: (i, j, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM
         ],
-        out_specs=pl.BlockSpec((g, bs), lambda i, j, cols: (i, 0)),
+        out_specs=pl.BlockSpec(blk_shape, lambda i, j, cols:
+                               (i, 0) + (0,) * (len(blk_shape) - 2)),
         scratch_shapes=[
-            pltpu.VMEM((depth, g, bs), x.dtype),     # gather pipeline
+            pltpu.VMEM((depth,) + blk_shape, x.dtype),  # gather pipeline
             pltpu.SemaphoreType.DMA((depth,)),
         ],
     )
     y = pl.pallas_call(
         functools.partial(_spmv_kernel, depth, slot_plan),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, bs), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((nb,) + blk_shape[1:], out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * nb * max_blk * bs * bs,
+            flops=2 * nb * max_blk * bs * bs * (rhs_r or 1),
             bytes_accessed=vals.size * vals.dtype.itemsize
             + x.size * x.dtype.itemsize * max_blk,
             transcendentals=0,
         ),
     )(cols.T, vals, xb)
-    return y.reshape(-1)
+    if rhs_r is None:
+        return y.reshape(-1)
+    return jnp.swapaxes(y, 1, 2).reshape(-1, rhs_r)
 
 
 def _bell_spmv_xla(vals, cols, x):
     nb, max_blk, bs, _ = vals.shape
     out_dtype = x.dtype
-    xb = x.reshape(-1, bs)  # nb_cols may exceed nb (rectangular row panel)
     # Upcast narrow-stored values at the dot (no-op when dtypes agree):
     # XLA fuses the convert into the einsum, so the HBM read stays bf16
     # while the multiply matches the Pallas kernel's error budget
     # (storage rounding only).
-    y = jnp.einsum("ijab,ijb->ia", vals.astype(out_dtype), xb[cols],
+    if x.ndim == 1:
+        xb = x.reshape(-1, bs)  # nb_cols may exceed nb (row panel)
+        y = jnp.einsum("ijab,ijb->ia", vals.astype(out_dtype), xb[cols],
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=out_dtype)
+        return y.reshape(-1)
+    r = x.shape[-1]
+    xb = x.reshape(-1, bs, r)
+    y = jnp.einsum("ijab,ijbr->iar", vals.astype(out_dtype), xb[cols],
                    precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=out_dtype)
-    return y.reshape(-1)
+    return y.reshape(-1, r)
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4))
@@ -337,6 +385,29 @@ def bell_spmv(vals, cols, x, interpret: bool = False, slot_plan=None):
     """
     return _bell_spmv_pallas(vals, cols, x, interpret=interpret,
                              slot_plan=slot_plan)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4))
+def bell_spmm(vals, cols, x, interpret: bool = False, slot_plan=None):
+    """Y = A X for a blocked-ELL matrix and an (N, r) block of vectors —
+    the SpMM tier the block solvers (``lobpcg_eigh``,
+    ``dominant_eigh_multi``) ride.  Same kernel as :func:`bell_spmv`
+    with the trailing r dimension threaded through the gather DMAs, so
+    each grid step runs real (bs, bs) x (bs, r) MXU matmuls instead of
+    the 1/bs-utilization block GEMV (see the roofline note), and the
+    value stream is amortized over all r vectors.  Derivatives route
+    through the XLA path exactly like the SpMV."""
+    return _bell_spmv_pallas(vals, cols, x, interpret=interpret,
+                             slot_plan=slot_plan)
+
+
+@bell_spmm.defjvp
+def _bell_spmm_jvp(interpret, slot_plan, primals, tangents):
+    vals, cols, x = primals
+    dvals, _, dx = tangents
+    y = bell_spmm(vals, cols, x, interpret, slot_plan)
+    dy = _bell_spmv_xla(dvals, cols, x) + _bell_spmv_xla(vals, cols, dx)
+    return y, dy
 
 
 @bell_spmv.defjvp

@@ -361,6 +361,31 @@ class BellOperator(LinearOperator):
             use = jax.default_backend() == "tpu"
         return self._pallas_matvec(x) if use else self._xla_matvec(x)
 
+    def matmat(self, X):
+        """A @ X for an (N, r) block — the SpMM tier.  One kernel pass
+        streams the values ONCE for all r vectors and turns the block
+        GEMV into (bs, bs) x (bs, r) MXU matmuls; this is what the
+        block solvers (lobpcg / dominant_eigh_multi) call."""
+        use = self.use_pallas
+        if use is None:
+            use = jax.default_backend() == "tpu"
+        if use:
+            from .pallas_spmv import bell_spmm
+            return bell_spmm(self.vals, self.cols, X, self.interpret,
+                             self.slot_plan)
+        nb, _, bs, _ = self.vals.shape
+        xb = X.reshape(nb, bs, X.shape[-1])
+        y = jnp.einsum("ijab,ijbr->iar", self.vals.astype(X.dtype),
+                       xb[self.cols],
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=X.dtype)
+        return y.reshape(-1, X.shape[-1])
+
+    def rmatmat(self, X):
+        if self.symmetric:
+            return self.matmat(X)
+        return super().rmatmat(X)
+
     def rmatvec(self, x):
         if self.symmetric:
             return self.matvec(x)

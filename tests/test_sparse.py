@@ -375,3 +375,44 @@ def test_bell_banded_slot_plan_detection_and_parity():
     irr = BellOperator.from_dense(a, bs=16, use_pallas=False)
     assert irr.slot_plan is None or any(
         kind == "gather" for kind, _ in irr.slot_plan)
+
+
+def test_bell_spmm_parity_and_block_solver():
+    """SpMM tier: Pallas (interpret) vs XLA einsum vs column-by-column
+    SpMV on an (N, r) block — incl. banded plan and bf16 values — and
+    the block eigensolver (LOBPCG) through BellOperator.matmat."""
+    from dominantsparseeigenad_tpu.ops.pallas_spmv import bell_spmm
+
+    n, bs, r = 512, 32, 8
+    op = random_bell_operator(jax.random.PRNGKey(17), n=n, bs=bs,
+                              blocks_per_row=5, dtype=jnp.float32,
+                              use_pallas=False)
+    X = jax.random.normal(jax.random.PRNGKey(18), (n, r), jnp.float32)
+    y_cols = jnp.stack([op.matvec(X[:, j]) for j in range(r)], axis=1)
+    y_mm = op.matmat(X)
+    np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_cols),
+                               rtol=1e-5, atol=1e-5)
+    y_pal = bell_spmm(op.vals, op.cols, X, True, op.slot_plan)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_cols),
+                               rtol=1e-5, atol=1e-5)
+    y_pal_g = bell_spmm(op.vals, op.cols, X, True, None)  # gather path
+    np.testing.assert_allclose(np.asarray(y_pal_g), np.asarray(y_cols),
+                               rtol=1e-5, atol=1e-5)
+    # bf16 narrow tier through the SpMM path.
+    y16 = op.astype_vals(jnp.bfloat16).matmat(X)
+    rel = float(jnp.linalg.norm(y16 - y_cols) / jnp.linalg.norm(y_cols))
+    assert 0 < rel < 8e-3, rel
+
+    # Block eigensolver rides matmat: top-4 of the f64 twin vs dense.
+    from dominantsparseeigenad_tpu import dominant_eigh_multi
+    op64 = random_bell_operator(jax.random.PRNGKey(17), n=n, bs=bs,
+                                blocks_per_row=5, dtype=jnp.float64,
+                                use_pallas=False)
+    # r=6 block, judge the first 3: eigenvalues 4/5 of this spectrum
+    # are 2.8e-3 apart (near-degenerate — convergence there tests the
+    # spectrum, not the SpMM path this test is about); guard vectors
+    # keep the judged ones clean.
+    lams, _ = dominant_eigh_multi(op64, r=6, k=100, method="lobpcg",
+                                  tol=1e-9, maxiter=400)
+    dense = np.linalg.eigvalsh(np.asarray(op64.to_dense()))
+    np.testing.assert_allclose(np.asarray(lams)[:3], dense[:3], rtol=1e-5)
