@@ -60,7 +60,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.operators import LinearOperator
-from ..ops.pallas_spmv import bell_spmv, _bell_spmv_xla
+from ..ops.pallas_spmv import bell_spmm, bell_spmv, _bell_spmv_xla
 from .mesh import SHARD_AXIS
 
 
@@ -266,6 +266,39 @@ class RowShardedBellOperator(LinearOperator):
             self._rmv, mesh=self.mesh, axis_names=set(self.mesh.axis_names),
             in_specs=(P(ax, None, None, None), P(ax, None), P(ax)),
             out_specs=P(ax))(self.vals, self.cols, x)
+
+    # -- block-of-vectors (SpMM) tier -----------------------------------------
+
+    def _mm_all_gather(self, vals_blk, cols_blk, x_blk):
+        x_full = lax.all_gather(x_blk, self.axis, tiled=True)
+        use = self.use_pallas
+        if use is None:
+            use = jax.default_backend() == "tpu"
+        if use:
+            return bell_spmm(vals_blk, cols_blk, x_full, self.interpret)
+        return _bell_spmv_xla(vals_blk, cols_blk, x_full)
+
+    def matmat(self, X):
+        """A @ X for an (N, r) row-sharded block — the distributed SpMM
+        tier the block solvers ride: each shard's panel runs ONE
+        bell_spmm over the gathered block, so the panel's value stream
+        is amortized over all r vectors exactly like the single-device
+        tier.  (``mode="ring"`` falls back to r matvecs — its bucket
+        gather re-reads vals per vector anyway.)"""
+        if self.mode != "all_gather":
+            return super().matmat(X)
+        ax = self.axis
+        manual = set(self.mesh.axis_names)
+        return shard_map(
+            self._mm_all_gather, mesh=self.mesh, axis_names=manual,
+            in_specs=(P(ax, None, None, None), P(ax, None), P(ax, None)),
+            out_specs=P(ax, None), check_vma=False)(
+                self.vals, self.cols, X)
+
+    def rmatmat(self, X):
+        if self.symmetric:
+            return self.matmat(X)
+        return super().rmatmat(X)
 
     @property
     def dim(self):

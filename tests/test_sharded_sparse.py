@@ -148,3 +148,28 @@ def test_sharded_bell_bf16_vals_matches_local(mesh, mode):
     assert y_shard.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(y_shard), np.asarray(y_local),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_sharded_bell_matmat_block_solver(mesh):
+    """Distributed SpMM tier: RowShardedBellOperator.matmat vs the local
+    operator on an (N, r) block, and the block eigensolver (LOBPCG)
+    through the sharded operator vs dense."""
+    op = random_bell_operator(jax.random.PRNGKey(21), n=128, bs=8,
+                              blocks_per_row=5, dtype=jnp.float64,
+                              use_pallas=False)
+    sop = RowShardedBellOperator.from_bell(op, mesh)
+    X = jax.random.normal(jax.random.PRNGKey(22), (128, 4), jnp.float64)
+    y_local = op.matmat(X)
+    y_shard = sop.matmat(jax.device_put(
+        X, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("shards", None))))
+    np.testing.assert_allclose(np.asarray(y_shard), np.asarray(y_local),
+                               rtol=1e-12)
+
+    from dominantsparseeigenad_tpu import dominant_eigh_multi
+    # r=5 block, judge the first 2 (the low end of this random
+    # spectrum is clustered; guard vectors keep the judged ones clean).
+    lams_s, _ = dominant_eigh_multi(sop, r=5, k=60, method="lobpcg",
+                                    tol=1e-9, maxiter=400)
+    dense = np.linalg.eigvalsh(np.asarray(op.to_dense()))
+    np.testing.assert_allclose(np.asarray(lams_s)[:2], dense[:2], rtol=1e-5)
