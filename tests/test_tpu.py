@@ -64,6 +64,23 @@ def test_pallas_spmv_bf16_vals_on_chip():
     assert 0 < rel < 4e-3, rel
 
 
+def test_pallas_spmm_on_chip():
+    """SpMM tier on the real MXU: bell_spmm vs per-column SpMVs (exact
+    same storage) on an (N, 8) block, through the banded slot plan."""
+    from dominantsparseeigenad_tpu import random_bell_operator, bell_spmm
+
+    op = random_bell_operator(jax.random.PRNGKey(2), n=1 << 13, bs=128,
+                              blocks_per_row=5, dtype=jnp.float32)
+    X = jax.random.normal(jax.random.PRNGKey(4), (op.n, 8), jnp.float32)
+    y_mm = np.asarray(jax.jit(
+        lambda v, c, xx: bell_spmm(v, c, xx, False, op.slot_plan))(
+            op.vals, op.cols, X))
+    y_cols = np.asarray(jax.jit(lambda o, xx: jnp.stack(
+        [o.matvec(xx[:, j]) for j in range(8)], axis=1))(op, X))
+    rel = np.abs(y_mm - y_cols).max() / np.abs(y_cols).max()
+    assert rel < 1e-5, f"spmm-vs-spmv rel {rel:.2e}"
+
+
 def test_f32_dominant_eigh_and_jvp_tfim_n14():
     """f32 eigenpair + dE0/dg on the chip vs the exact JW oracle."""
     from dominantsparseeigenad_tpu import dominant_eigh
