@@ -508,7 +508,13 @@ def _block_eigvec(b, lam):
     y2 = jnp.stack([lam - b[1, 1], b[1, 0].astype(lam.dtype)])
     use1 = jnp.abs(b[0, 1]) >= jnp.abs(b[1, 0])
     y = jnp.where(use1, y1, y2)
-    return y / jnp.linalg.norm(y)
+    # Exactly-diagonal restriction with lam in slot 0 makes the chosen
+    # row all-zero; the eigenvector is then e_0 (b is diagonal), which
+    # the guarded fallback below reproduces instead of NaN-ing.
+    nrm = jnp.linalg.norm(y)
+    e0 = jnp.zeros_like(y).at[0].set(1.0)
+    tiny = jnp.finfo(jnp.finfo(lam.dtype).dtype).tiny
+    return jnp.where(nrm > tiny, y / jnp.maximum(nrm, tiny), e0)
 
 
 def _subspace_2(mv, n, dtype, key, num_iters, tol):
@@ -547,25 +553,37 @@ def _subspace_2(mv, n, dtype, key, num_iters, tol):
     return q, b, resid, it
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(1,))
-def _dominant_eig_pair(op, opts: EigOptions):
+def _pair_forward(op, opts: EigOptions):
     n, dtype = op.dim, op.dtype
+    real_dtype = jnp.finfo(dtype).dtype
     ptol = tol_floor(opts.power_tol, dtype)
     kr, kl = jax.random.split(jax.random.PRNGKey(opts.seed))
-    qr_, br, _, _ = _subspace_2(op.matvec, n, dtype, kr,
-                                opts.num_iters, ptol)
-    ql_, bl, _, _ = _subspace_2(op.rmatvec, n, dtype, kl,
-                                opts.num_iters, ptol)
+    qr_, br, resid_r, it_r = _subspace_2(op.matvec, n, dtype, kr,
+                                         opts.num_iters, ptol)
+    ql_, bl, resid_l, it_l = _subspace_2(op.rmatvec, n, dtype, kl,
+                                         opts.num_iters, ptol)
+    resid = jnp.maximum(resid_r, resid_l).astype(real_dtype)
+    info = PowerInfo(
+        iterations=jnp.maximum(it_r, it_l).astype(real_dtype),
+        residual=resid,
+        converged=(resid <= ptol).astype(real_dtype),
+        # The 2-D subspace formulation has no rank-1 collapse to defect-
+        # measure (it represents the pair exactly); report 0.
+        rank1_defect=jnp.zeros((), real_dtype))
     cdtype = _ComplexifiedOperator(op).dtype
     tr = br[0, 0] + br[1, 1]
     det = br[0, 0] * br[1, 1] - br[0, 1] * br[1, 0]
     disc = tr * tr / 4 - det
-    # Complex pair when disc < 0 (lam = tr/2 + i sqrt(-disc), Im >= 0);
-    # degenerates gracefully to the dominant REAL eigenvalue otherwise.
+    # Complex pair when disc < 0 (lam = tr/2 + i sqrt(-disc), Im >= 0).
+    # disc >= 0: the dominant REAL eigenvalue is the larger-MAGNITUDE
+    # root tr/2 ± sqrt(disc) — the sign of tr decides which (a plain
+    # +sqrt would return the SUBDOMINANT pair whenever the dominant
+    # eigenvalue is negative, e.g. spectrum {-5, 2} -> 2).
     lam = (tr.astype(cdtype) / 2
            + jnp.where(disc < 0,
                        1j * jnp.sqrt(jnp.maximum(-disc, 0.0)),
-                       jnp.sqrt(jnp.maximum(disc, 0.0))).astype(cdtype))
+                       jnp.where(tr >= 0, 1.0, -1.0)
+                       * jnp.sqrt(jnp.maximum(disc, 0.0))).astype(cdtype))
     r = qr_.astype(cdtype) @ _block_eigvec(br, lam)
     r = r / jnp.linalg.norm(r)
     pivot = r[jnp.argmax(jnp.abs(r))]
@@ -574,7 +592,24 @@ def _dominant_eig_pair(op, opts: EigOptions):
     # symmetry of the real operator; normalized bilinearly l^T r = 1.
     l = ql_.astype(cdtype) @ _block_eigvec(bl, lam)
     l = l / jnp.sum(l * r)
+    return lam, l, r, info
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _dominant_eig_pair(op, opts: EigOptions):
+    lam, l, r, _ = _pair_forward(op, opts)
     return lam, l, r
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _dominant_eig_pair_info(op, opts: EigOptions):
+    return _pair_forward(op, opts)
+
+
+def _pair_tangents(op, dop, lam, l, r, opts):
+    opc = _ComplexifiedOperator(op)
+    dopc = _ComplexifiedOperator(dop)
+    return _eig_tangents(opc, dopc, lam, l, r, opts)
 
 
 @_dominant_eig_pair.defjvp
@@ -582,15 +617,24 @@ def _dominant_eig_pair_jvp(opts, primals, tangents):
     (op,) = primals
     (dop,) = tangents
     lam, l, r = _dominant_eig_pair(op, opts)
-    opc = _ComplexifiedOperator(op)
-    dopc = _ComplexifiedOperator(dop)
-    _, dlam, dl, dr = _eig_tangents(opc, dopc, lam, l, r, opts)
+    _, dlam, dl, dr = _pair_tangents(op, dop, lam, l, r, opts)
     return (lam, l, r), (dlam, dl, dr)
+
+
+@_dominant_eig_pair_info.defjvp
+def _dominant_eig_pair_info_jvp(opts, primals, tangents):
+    (op,) = primals
+    (dop,) = tangents
+    lam, l, r, info = _dominant_eig_pair_info(op, opts)
+    _, dlam, dl, dr = _pair_tangents(op, dop, lam, l, r, opts)
+    dinfo = PowerInfo(*(jnp.zeros_like(f) for f in info))
+    return (lam, l, r, info), (dlam, dl, dr, dinfo)
 
 
 def dominant_eig_pair(op, num_iters: int = 500, *, tol: float = 1e-10,
                       maxiter: int | None = None, seed: int = 0,
-                      power_tol: float = 1e-12, solver: str = "bicgstab"):
+                      power_tol: float = 1e-12, solver: str = "bicgstab",
+                      with_info: bool = False):
     """Dominant eigenvalue of a REAL square operator allowing a
     complex-conjugate dominant PAIR — the case :func:`dominant_eig`'s
     Perron guard diagnoses but cannot solve (no reference analogue).
@@ -608,15 +652,25 @@ def dominant_eig_pair(op, num_iters: int = 500, *, tol: float = 1e-10,
 
     Returns ``(lam, l, r)`` complex, with ``||r|| = 1``, pivot entry of
     ``r`` real positive, and the BILINEAR normalization ``l^T r = 1``.
+    With ``with_info=True`` also returns a :class:`PowerInfo` for the
+    2-D orthogonal iteration (max of the left/right sweeps; a spectrum
+    whose 2nd/3rd moduli tie never converges and must be detectable
+    instead of silently wrong — ``rank1_defect`` is reported as 0, the
+    2-D subspace represents a dominant pair exactly).
     """
     op = as_operator(op)
     if jnp.iscomplexobj(jnp.zeros((), op.dtype)):
         raise ValueError("dominant_eig_pair expects a REAL operator; "
                          "complex operators are handled by dominant_eig")
+    if solver not in ("bicgstab", "cgnr", "gmres"):
+        raise ValueError(
+            f"solver must be bicgstab|cgnr|gmres, got {solver!r}")
     opts = EigOptions(num_iters=int(num_iters), tol=float(tol),
                       maxiter=None if maxiter is None else int(maxiter),
                       seed=int(seed), power_tol=float(power_tol),
                       solver=solver)
+    if with_info:
+        return _dominant_eig_pair_info(op, opts)
     return _dominant_eig_pair(op, opts)
 
 

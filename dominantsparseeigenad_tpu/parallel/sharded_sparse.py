@@ -177,11 +177,14 @@ class RowShardedBellOperator(LinearOperator):
     # -- local-panel kernels ---------------------------------------------------
 
     def _panel_spmv(self, vals_blk, cols_blk, x_full):
+        """Local rectangular panel times a full vector (x_full (N,)) or
+        block (x_full (N, r)) — one backend dispatch for both tiers."""
         use = self.use_pallas
         if use is None:
             use = jax.default_backend() == "tpu"
         if use:
-            return bell_spmv(vals_blk, cols_blk, x_full, self.interpret)
+            kernel = bell_spmv if x_full.ndim == 1 else bell_spmm
+            return kernel(vals_blk, cols_blk, x_full, self.interpret)
         return _bell_spmv_xla(vals_blk, cols_blk, x_full)
 
     # -- shard_map bodies --------------------------------------------------------
@@ -271,12 +274,7 @@ class RowShardedBellOperator(LinearOperator):
 
     def _mm_all_gather(self, vals_blk, cols_blk, x_blk):
         x_full = lax.all_gather(x_blk, self.axis, tiled=True)
-        use = self.use_pallas
-        if use is None:
-            use = jax.default_backend() == "tpu"
-        if use:
-            return bell_spmm(vals_blk, cols_blk, x_full, self.interpret)
-        return _bell_spmv_xla(vals_blk, cols_blk, x_full)
+        return self._panel_spmv(vals_blk, cols_blk, x_full)
 
     def matmat(self, X):
         """A @ X for an (N, r) row-sharded block — the distributed SpMM

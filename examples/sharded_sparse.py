@@ -35,8 +35,11 @@ import jax.numpy as jnp
 # trivial 1-device "mesh".  This must be decided before jax initializes
 # its backend, hence the manual argv peek ahead of argparse.
 _platform = None
-if "--platform" in sys.argv:
-    _platform = sys.argv[sys.argv.index("--platform") + 1]
+for _i, _a in enumerate(sys.argv):
+    if _a == "--platform" and _i + 1 < len(sys.argv):
+        _platform = sys.argv[_i + 1]
+    elif _a.startswith("--platform="):
+        _platform = _a.split("=", 1)[1]
 if _platform is None:
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:

@@ -390,3 +390,32 @@ def test_dominant_eig_pair_real_degenerate_case():
     w = np.linalg.eigvals(np.asarray(a))
     np.testing.assert_allclose(complex(lam), np.max(w.real), rtol=1e-8)
     assert abs(float(jnp.imag(lam))) < 1e-9
+
+
+def test_dominant_eig_pair_negative_dominant_real():
+    """Regression (round-4 review): disc>=0 must pick the larger-
+    MAGNITUDE root — a NEGATIVE dominant real eigenvalue previously
+    returned the subdominant pair (spectrum {-5, 2} -> 2)."""
+    from dominantsparseeigenad_tpu import dominant_eig_pair
+
+    n = 24
+    rng = np.random.default_rng(98)
+    d = np.concatenate([[-5.0, 2.0], 0.8 * rng.standard_normal(n - 2)])
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = jnp.asarray(q @ np.diag(d) @ q.T)
+
+    lam, l, r, info = dominant_eig_pair(a, num_iters=500,
+                                        power_tol=1e-12, with_info=True)
+    np.testing.assert_allclose(complex(lam), -5.0, rtol=1e-9)
+    assert np.linalg.norm(np.asarray(a @ r - lam * r)) < 1e-8
+    assert float(info.converged) == 1.0
+    # Gradient of the spectral radius through the negative branch.
+    a1 = jnp.asarray(q @ np.diag(np.eye(n)[0]) @ q.T)  # moves only -5
+
+    def radius(t):
+        lam, _, _ = dominant_eig_pair(a + t * a1, num_iters=800,
+                                      power_tol=1e-13)
+        return jnp.abs(lam)
+
+    g = jax.grad(radius)(jnp.float64(0.0))
+    np.testing.assert_allclose(float(g), -1.0, rtol=1e-6)  # d|−5+t|/dt
