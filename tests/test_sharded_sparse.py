@@ -173,3 +173,39 @@ def test_sharded_bell_matmat_block_solver(mesh):
                                     tol=1e-9, maxiter=400)
     dense = np.linalg.eigvalsh(np.asarray(op.to_dense()))
     np.testing.assert_allclose(np.asarray(lams_s)[:2], dense[:2], rtol=1e-5)
+
+
+def test_sharded_operator_through_slicing_and_observables(mesh):
+    """Distributed coverage widening: the sharded sparse operator drops
+    into the OTHER solver tiers unchanged — KPM spectral density and the
+    generic observable layer — because everything is built on the
+    LinearOperator protocol + collectives-transparent shard_map."""
+    from dominantsparseeigenad_tpu import (fidelity_susceptibility,
+                                           spectral_density)
+
+    op = random_bell_operator(jax.random.PRNGKey(31), n=128, bs=8,
+                              blocks_per_row=5, dtype=jnp.float64,
+                              use_pallas=False)
+    sop = RowShardedBellOperator.from_bell(op, mesh)
+
+    # KPM DOS through the sharded matvec vs the local operator.
+    xs = jnp.linspace(-1.6, 1.6, 9)
+    d_loc = spectral_density(op, xs, degree=64, n_probe=8,
+                             key=jax.random.PRNGKey(3))
+    d_shr = spectral_density(sop, xs, degree=64, n_probe=8,
+                             key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(d_shr), np.asarray(d_loc),
+                               rtol=1e-9, atol=1e-12)
+
+    # chi_F of a parameterized SHARDED operator family vs the local one
+    # (one jvp through the IFT rule with psum'd reductions inside).
+    def make_local(g):
+        return BellOperator(op.vals + g * jnp.ones_like(op.vals) * 1e-2,
+                            op.cols, op.n, symmetric=True,
+                            use_pallas=False)
+
+    chi_shr = fidelity_susceptibility(
+        lambda g: sop.with_vals(op.vals + g * jnp.ones_like(op.vals)
+                                * 1e-2), jnp.float64(0.1), k=80)
+    chi_loc = fidelity_susceptibility(make_local, jnp.float64(0.1), k=80)
+    np.testing.assert_allclose(float(chi_shr), float(chi_loc), rtol=1e-8)
