@@ -113,6 +113,11 @@ def bench_torch():
     import numpy as np
     import torch
 
+    # Pin the thread pool (same as bench.py's headline baseline): an
+    # unpinned eager-torch denominator swings several-fold with host
+    # load, making the reported ratios unstable across driver runs.
+    torch.set_num_threads(min(4, os.cpu_count() or 4))
+
     dtype = torch.float64
 
     def lanczos(mv, dim, k):
