@@ -20,7 +20,7 @@ from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
 from .lobpcg import lobpcg_eigh, lobpcg_eigh_general, LobpcgInfo
 from .gen import dominant_eigh_gen, EighGenOptions, solve_deflated_pencil
 from .eig import (dominant_eig, dominant_eig_multi, dominant_eig_pair,
-                  EigOptions, PowerInfo)
+                  dominant_eig_spectrum, EigOptions, PowerInfo)
 from .sparse import (COOOperator, CSROperator, BCOOOperator, BellOperator,
                      random_bell_operator)
 from .pallas_spmv import bell_spmm, bell_spmv
@@ -49,7 +49,7 @@ __all__ = [
     "dominant_eigh_gen", "EighGenOptions", "solve_deflated_pencil",
     "dominant_eigh", "dominant_eigh_multi", "refine_eigenpair", "EighOptions",
     "EighMultiOptions", "dominant_eig", "dominant_eig_multi",
-    "dominant_eig_pair",
+    "dominant_eig_pair", "dominant_eig_spectrum",
     "EigOptions", "PowerInfo",
     "COOOperator", "CSROperator", "BCOOOperator", "BellOperator",
     "random_bell_operator",

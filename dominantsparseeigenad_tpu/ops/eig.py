@@ -705,8 +705,9 @@ def dominant_eig_multi(op, m: int = 2, *, num_iters: int = 500,
     notably, a complex-conjugate sub-dominant PAIR of a real operator
     cannot be represented by a single real triple and the stage will
     not converge: pass ``with_info=True`` and check each stage's
-    ``PowerInfo.converged`` to detect it instead of trusting the
-    output.
+    ``PowerInfo.converged`` to detect it — or use
+    :func:`dominant_eig_spectrum`, which handles mixed real/complex
+    spectra by pair-aware deflation.
 
     With ``with_info=True`` returns ``(lams, ls, rs, infos)`` where
     ``infos`` is a :class:`PowerInfo` of (m,)-shaped fields.
@@ -751,3 +752,133 @@ def dominant_eig_multi(op, m: int = 2, *, num_iters: int = 500,
     if with_info:
         return out + (PowerInfo(*(jnp.stack(f) for f in zip(*infos))),)
     return out
+
+
+def _real_pair_deflate_mv(params, x):
+    """Real matvec of M - 2 Re(lam r l^T): for a conjugate pair BOTH
+    members deflate at once and the sum 2 Re(.) keeps the operator real
+    (a = Re(lam r), b = Im(lam r); Re part of (a+ib)((lr+i li)^T x))."""
+    a, b, lr, li, inner = params
+    return (inner.matvec(x) - 2.0 * (a * (lr @ x) - b * (li @ x)))
+
+
+def _real_pair_deflate_rmv(params, x):
+    # (lam r l^T)^T = lam l r^T; same real-part algebra with the roles
+    # of the stored real/imag factors transposed at construction.
+    a, b, lr, li, inner = params
+    return (inner.rmatvec(x) - 2.0 * (lr * (a @ x) - li * (b @ x)))
+
+
+def _real_single_deflate_mv(params, x):
+    lam, l, r, inner = params
+    return inner.matvec(x) - lam * r * (l @ x)
+
+
+def _real_single_deflate_rmv(params, x):
+    lam, l, r, inner = params
+    return inner.rmatvec(x) - lam * l * (r @ x)
+
+
+def dominant_eig_spectrum(op, m: int = 4, *, num_iters: int = 500,
+                          tol: float = 1e-10,
+                          maxiter: int | None = None, seed: int = 0,
+                          power_tol: float = 1e-12,
+                          solver: str = "bicgstab",
+                          imag_tol: float = 1e-8,
+                          structure: tuple | None = None):
+    """Top-m eigenvalues (by modulus) of a REAL operator, ALLOWING
+    complex-conjugate pairs anywhere in the spectrum — the case
+    :func:`dominant_eig_multi` documents as unrepresentable (a complex
+    sub-dominant pair of a real matrix has no real triple and its power
+    stage never converges).  Physically: complex transfer-matrix
+    eigenvalues are incommensurate (oscillating) correlations; this
+    returns them with their decay moduli AND phases.
+
+    Each stage runs :func:`dominant_eig_pair`; a stage whose eigenvalue
+    is real (|Im λ| ≤ imag_tol·|λ|) consumes one spectrum slot and
+    deflates rank-1, a complex stage consumes TWO (λ and conj λ) and
+    deflates both members at once via M - 2·Re(λ r l^T) — which keeps
+    every deflated operator REAL, so the whole cascade stays in real
+    matvecs (Wielandt deflation exactly as ``dominant_eig_multi``, pair
+    generalized).
+
+    Staging is data-dependent: with ``structure=None`` the shape of the
+    cascade is decided from CONCRETE eigenvalues, so the first call
+    must run eagerly (outside jit/grad).  For derivatives, take the
+    returned ``structure`` tuple (``"pair"``/``"real"`` per stage) and
+    pass it back — the cascade is then a fixed trace,
+    jit/grad/jvp-able to arbitrary order through the pair IFT rule.
+
+    Returns ``(lams, ls, rs, structure)``: ``lams`` (m,) complex sorted
+    by descending |λ| (conjugate members adjacent), ``ls``/``rs``
+    (n, m) complex with ``||r_j|| = 1``, ``l_j^T r_j = 1``.
+    """
+    op = as_operator(op)
+    if jnp.iscomplexobj(jnp.zeros((), op.dtype)):
+        raise ValueError("dominant_eig_spectrum expects a REAL operator")
+    from .operators import MatrixFreeOperator
+
+    lams, ls, rs, built = [], [], [], []
+    cdtype = _ComplexifiedOperator(op).dtype
+    cur = op
+    stage = 0
+    while len(lams) < m:
+        # Robust staging: a REAL simple dominant eigenvalue is solved
+        # with the 1-D (Arnoldi-seeded) solver — single-vector power is
+        # immune to complex SUB-dominant pairs, whereas the 2-D pair
+        # iteration needs the top-2 moduli separated from the 3rd and
+        # fails exactly when the dominant is real with a pair just
+        # below (2nd/3rd tie).  The pair solver runs only for stages
+        # the 1-D guard flags as complex-dominant.
+        probe_out = None
+        if structure is not None:
+            kind = structure[stage]
+        else:
+            probe_out = dominant_eig(
+                cur, num_iters=num_iters, tol=tol, maxiter=maxiter,
+                seed=seed + stage, power_tol=power_tol, solver=solver,
+                method="arnoldi", with_info=True)
+            probe = probe_out[3]
+            kind = ("real" if (float(probe.converged) == 1.0
+                               and float(probe.rank1_defect) < 1e-2)
+                    else "pair")
+        built.append(kind)
+        if kind == "real":
+            if probe_out is not None:
+                lam, l, r = probe_out[:3]
+            else:
+                lam, l, r = dominant_eig(
+                    cur, num_iters=num_iters, tol=tol, maxiter=maxiter,
+                    seed=seed + stage, power_tol=power_tol,
+                    solver=solver, method="arnoldi")
+            lam = lam.astype(cdtype)
+            l = l.astype(cdtype)
+            r = r.astype(cdtype)
+        else:
+            lam, l, r = dominant_eig_pair(
+                cur, num_iters=num_iters, tol=tol, maxiter=maxiter,
+                seed=seed + stage, power_tol=power_tol, solver=solver)
+        if kind == "pair":
+            lams += [lam, jnp.conj(lam)]
+            ls += [l, jnp.conj(l)]
+            rs += [r, jnp.conj(r)]
+            a = jnp.real(lam * r)
+            b = jnp.imag(lam * r)
+            lr, li = jnp.real(l), jnp.imag(l)
+            cur = MatrixFreeOperator(
+                _real_pair_deflate_mv, (a, b, lr, li, cur),
+                dim=op.dim, dtype=op.dtype,
+                rmatvec_fn=_real_pair_deflate_rmv, symmetric=False)
+        else:
+            lam_r = jnp.real(lam)
+            l_r, r_r = jnp.real(l), jnp.real(r)
+            lams.append(lam_r.astype(lam.dtype))
+            ls.append(l_r.astype(l.dtype))
+            rs.append(r_r.astype(r.dtype))
+            cur = MatrixFreeOperator(
+                _real_single_deflate_mv, (lam_r, l_r, r_r, cur),
+                dim=op.dim, dtype=op.dtype,
+                rmatvec_fn=_real_single_deflate_rmv, symmetric=False)
+        stage += 1
+    return (jnp.stack(lams[:m]), jnp.stack(ls[:m], axis=-1),
+            jnp.stack(rs[:m], axis=-1), tuple(built))

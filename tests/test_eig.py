@@ -419,3 +419,74 @@ def test_dominant_eig_pair_negative_dominant_real():
 
     g = jax.grad(radius)(jnp.float64(0.0))
     np.testing.assert_allclose(float(g), -1.0, rtol=1e-6)  # d|−5+t|/dt
+
+
+def test_dominant_eig_spectrum_mixed_real_and_pairs():
+    """Full top-m spectrum of a real operator with complex pairs mixed
+    between real (incl. negative) eigenvalues — the case
+    dominant_eig_multi documents as unrepresentable."""
+    from dominantsparseeigenad_tpu import dominant_eig_spectrum
+
+    n = 40
+    rng = np.random.default_rng(101)
+    blk = np.zeros((n, n))
+    blk[0, 0] = 3.0                                   # real
+    th1 = 0.8
+    blk[1:3, 1:3] = 2.8 * np.array([[np.cos(th1), -np.sin(th1)],
+                                    [np.sin(th1), np.cos(th1)]])  # pair
+    blk[3, 3] = -2.2                                  # negative real
+    th2 = 1.9
+    blk[4:6, 4:6] = 1.5 * np.array([[np.cos(th2), -np.sin(th2)],
+                                    [np.sin(th2), np.cos(th2)]])  # pair
+    blk[6:, 6:] = np.diag(0.4 * rng.random(n - 6))
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = jnp.asarray(q @ blk @ q.T)
+
+    lams, ls, rs, structure = dominant_eig_spectrum(
+        a, m=6, num_iters=800, power_tol=1e-12)
+    assert structure == ("real", "pair", "real", "pair")
+
+    w = np.linalg.eigvals(np.asarray(a))
+    w = w[np.argsort(-np.abs(w))][:6]
+    got = np.asarray(lams)
+    # Compare as multisets (conjugate order within a pair is free).
+    np.testing.assert_allclose(np.sort_complex(got),
+                               np.sort_complex(w), rtol=1e-7)
+    # Residuals of every returned triple on the ORIGINAL operator.
+    an = np.asarray(a)
+    for j in range(6):
+        assert np.linalg.norm(an @ np.asarray(rs[:, j])
+                              - got[j] * np.asarray(rs[:, j])) < 1e-6
+        np.testing.assert_allclose(
+            complex(jnp.sum(ls[:, j] * rs[:, j])), 1.0, rtol=1e-7)
+
+
+def test_dominant_eig_spectrum_gradients_with_structure():
+    """Fixed-structure cascade is differentiable: gradient of
+    sum |lam_i|^2 over a mixed spectrum vs finite differences."""
+    from dominantsparseeigenad_tpu import dominant_eig_spectrum
+
+    n = 24
+    rng = np.random.default_rng(102)
+    blk = np.zeros((n, n))
+    blk[0, 0] = 3.0
+    blk[1:3, 1:3] = 2.5 * np.array([[np.cos(0.6), -np.sin(0.6)],
+                                    [np.sin(0.6), np.cos(0.6)]])
+    blk[3:, 3:] = np.diag(0.8 * rng.random(n - 3))
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a0 = jnp.asarray(q @ blk @ q.T)
+    a1 = jnp.asarray(0.2 * rng.standard_normal((n, n)))
+
+    _, _, _, structure = dominant_eig_spectrum(a0, m=3, num_iters=800,
+                                               power_tol=1e-13)
+
+    def f(t):
+        lams, _, _, _ = dominant_eig_spectrum(
+            a0 + t * a1, m=3, num_iters=800, power_tol=1e-13,
+            structure=structure)
+        return jnp.sum(jnp.abs(lams) ** 2)
+
+    t0, eps = jnp.float64(0.0), 1e-6
+    num = (f(t0 + eps) - f(t0 - eps)) / (2 * eps)
+    g = jax.grad(f)(t0)
+    np.testing.assert_allclose(float(g), float(num), rtol=2e-5)
