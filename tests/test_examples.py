@@ -25,6 +25,7 @@ _CASES = [
                           "--maxiter", "150"]),
     ("vibrational_modes.py", ["--n", "100"]),
     ("sharded_sparse.py", ["--n", "512", "--bs", "16", "--k", "30"]),
+    ("complex_spectrum.py", ["--n", "48", "--m", "5"]),
 ]
 
 
