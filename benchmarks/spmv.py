@@ -170,7 +170,11 @@ def main():
         }))
         return
 
-    f_pal = chain(lambda v, c, xx: bell_spmv(v, c, xx, False))
+    # Pass the slot plan exactly as BellOperator.matvec would: the
+    # measured path must be the production path (the banded slab-DMA
+    # kernel), not the generic gather fallback.
+    f_pal = chain(lambda v, c, xx: bell_spmv(v, c, xx, False,
+                                             op.slot_plan))
     f_xla = chain(lambda v, c, xx: BellOperator(
         v, c, args.n, use_pallas=False)._xla_matvec(xx))
 

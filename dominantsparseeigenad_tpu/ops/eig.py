@@ -104,6 +104,21 @@ def _hessenberg_defect(hk, real_dtype):
     return mp, (s[1] / jnp.maximum(s[0], tiny)).astype(real_dtype)
 
 
+def _arnoldi_factorization(mv, n, k, q0, dtype):
+    """k Arnoldi steps from unit seed ``q0``: returns (basis, H) —
+    shared scaffolding of the Ritz extraction and the defect probe."""
+    from .lanczos import arnoldi_step
+
+    basis0 = jnp.zeros((k + 1, n), dtype).at[0].set(q0)
+    h0 = jnp.zeros((k + 1, k), dtype)
+
+    def step(carry, j):
+        return arnoldi_step(mv, *carry, j), None
+
+    (basis, h), _ = lax.scan(step, (basis0, h0), jnp.arange(k))
+    return basis, h
+
+
 def _probe_defect(mv, n, k, v0, dtype):
     """Measure the Perron defect from a k-step Arnoldi probe seeded at
     ``v0`` (the power loop's exit iterate).
@@ -116,16 +131,8 @@ def _probe_defect(mv, n, k, v0, dtype):
     collapses -> defect O(1).  Cost: k matvecs, once, at exit —
     negligible next to the iteration budget the complex case burns.
     """
-    from .lanczos import arnoldi_step
-
     real_dtype = jnp.finfo(dtype).dtype
-    basis0 = jnp.zeros((k + 1, n), dtype).at[0].set(v0)
-    h0 = jnp.zeros((k + 1, k), dtype)
-
-    def step(carry, j):
-        return arnoldi_step(mv, *carry, j), None
-
-    (_, h), _ = lax.scan(step, (basis0, h0), jnp.arange(k))
+    _, h = _arnoldi_factorization(mv, n, k, v0, dtype)
     _, defect = _hessenberg_defect(h[:k, :k], real_dtype)
     return defect
 
@@ -154,19 +161,11 @@ def _arnoldi_ritz_vector(mv, n, k, key, dtype):
     ≥2-dimensional invariant subspace and never collapse).  Callers
     surface it as :class:`PowerInfo.rank1_defect`.
     """
-    from .lanczos import arnoldi_step
-
     real_dtype = jnp.finfo(dtype).dtype
     tiny = jnp.finfo(real_dtype).tiny
     q0 = jax.random.normal(key, (n,), dtype=dtype)
     q0 = q0 / jnp.linalg.norm(q0)
-    basis0 = jnp.zeros((k + 1, n), dtype).at[0].set(q0)
-    h0 = jnp.zeros((k + 1, k), dtype)
-
-    def step(carry, j):
-        return arnoldi_step(mv, *carry, j), None
-
-    (basis, h), _ = lax.scan(step, (basis0, h0), jnp.arange(k))
+    basis, h = _arnoldi_factorization(mv, n, k, q0, dtype)
     # Collapse + Perron guard share _hessenberg_defect (see docstring).
     mp, defect = _hessenberg_defect(h[:k, :k], real_dtype)
     # Columns of the collapsed power are all parallel to the dominant
@@ -794,20 +793,24 @@ def dominant_eig_spectrum(op, m: int = 4, *, num_iters: int = 500,
     eigenvalues are incommensurate (oscillating) correlations; this
     returns them with their decay moduli AND phases.
 
-    Each stage runs :func:`dominant_eig_pair`; a stage whose eigenvalue
-    is real (|Im λ| ≤ imag_tol·|λ|) consumes one spectrum slot and
-    deflates rank-1, a complex stage consumes TWO (λ and conj λ) and
-    deflates both members at once via M - 2·Re(λ r l^T) — which keeps
-    every deflated operator REAL, so the whole cascade stays in real
-    matvecs (Wielandt deflation exactly as ``dominant_eig_multi``, pair
-    generalized).
+    Per stage, a 1-D Arnoldi probe first tries the simple-real-dominant
+    solver (immune to complex SUB-dominant pairs); stages it cannot
+    certify run :func:`dominant_eig_pair`.  A pair stage whose 2x2
+    eigenvalue comes out REAL (|Im λ| ≤ imag_tol·|λ| — tied-modulus
+    real clusters also stall the 1-D probe) consumes ONE spectrum slot
+    and deflates rank-1 (kind ``"pair_real"``); a genuinely complex
+    stage consumes TWO (λ and conj λ) and deflates both members at once
+    via M - 2·Re(λ r l^T) — which keeps every deflated operator REAL,
+    so the whole cascade stays in real matvecs (Wielandt deflation
+    exactly as ``dominant_eig_multi``, pair-generalized).
 
     Staging is data-dependent: with ``structure=None`` the shape of the
     cascade is decided from CONCRETE eigenvalues, so the first call
     must run eagerly (outside jit/grad).  For derivatives, take the
-    returned ``structure`` tuple (``"pair"``/``"real"`` per stage) and
-    pass it back — the cascade is then a fixed trace,
-    jit/grad/jvp-able to arbitrary order through the pair IFT rule.
+    returned ``structure`` tuple (``"real"``/``"pair"``/``"pair_real"``
+    per stage) and pass it back — the cascade is then a fixed trace,
+    jit/grad/jvp-able to arbitrary order through the pair IFT rule,
+    with each stage replayed by the SAME solver that produced it.
 
     Returns ``(lams, ls, rs, structure)``: ``lams`` (m,) complex sorted
     by descending |λ| (conjugate members adjacent), ``ls``/``rs``
@@ -858,6 +861,22 @@ def dominant_eig_spectrum(op, m: int = 4, *, num_iters: int = 500,
             lam, l, r = dominant_eig_pair(
                 cur, num_iters=num_iters, tol=tol, maxiter=maxiter,
                 seed=seed + stage, power_tol=power_tol, solver=solver)
+            if structure is None:
+                # The probe labels DEGENERATE REAL clusters "pair" too
+                # (its rank-1 collapse stalls on any tied moduli); the
+                # pair solve resolves the 2x2 block exactly, so gate on
+                # the eigenvalue it actually found: a REAL result must
+                # consume ONE slot and deflate rank-1 — recording it as
+                # lam AND conj(lam) would double-count the eigenvalue
+                # and flip the deflated direction to -lam, corrupting
+                # every later stage (round-4 review, confirmed).
+                lam_c = complex(lam)
+                if abs(lam_c.imag) <= imag_tol * max(abs(lam_c), 1e-300):
+                    # "pair_real", not "real": a structure replay must
+                    # use the SAME solver — the 1-D solver is exactly
+                    # what failed on this stage's tied moduli.
+                    kind = "pair_real"
+                    built[-1] = "pair_real"
         if kind == "pair":
             lams += [lam, jnp.conj(lam)]
             ls += [l, jnp.conj(l)]

@@ -490,3 +490,32 @@ def test_dominant_eig_spectrum_gradients_with_structure():
     num = (f(t0 + eps) - f(t0 - eps)) / (2 * eps)
     g = jax.grad(f)(t0)
     np.testing.assert_allclose(float(g), float(num), rtol=2e-5)
+
+
+def test_dominant_eig_spectrum_degenerate_real_cluster():
+    """Regression (round-4 review, confirmed): a tied-modulus REAL
+    cluster makes the 1-D probe flag 'pair', and the pair stage's real
+    eigenvalue must then consume ONE slot with rank-1 deflation — the
+    old code recorded lam AND conj(lam) and deflated 2*lam*r*l^T,
+    returning [5, 5, -5, -5] for a {5, 5-1e-4, 2, ...} spectrum."""
+    from dominantsparseeigenad_tpu import dominant_eig_spectrum
+
+    n = 24
+    rng = np.random.default_rng(103)
+    d = np.concatenate([[5.0, 5.0 - 1e-4, 2.0],
+                        0.8 * rng.standard_normal(n - 3)])
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = jnp.asarray(q @ np.diag(d) @ q.T)
+
+    lams, _, _, structure = dominant_eig_spectrum(
+        a, m=3, num_iters=2000, power_tol=1e-12)
+    got = np.sort(np.asarray(lams).real)[::-1]
+    np.testing.assert_allclose(got, [5.0, 5.0 - 1e-4, 2.0], rtol=1e-6)
+    assert np.abs(np.asarray(lams).imag).max() < 1e-8
+    assert "pair_real" in structure or structure == ("real",) * 3
+
+    # Structure replay reproduces the same values (fixed trace).
+    lams2, _, _, _ = dominant_eig_spectrum(
+        a, m=3, num_iters=2000, power_tol=1e-12, structure=structure)
+    np.testing.assert_allclose(np.asarray(lams2), np.asarray(lams),
+                               rtol=1e-10)
