@@ -23,13 +23,13 @@ residual tolerance) — legal because no gradient ever traverses it.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .operators import LinearOperator, as_operator, tol_floor, hdot
+from .operators import as_operator, tol_floor, hdot
 
 
 def _project_out(V: jax.Array, x: jax.Array) -> jax.Array:
@@ -43,18 +43,10 @@ def _project_out(V: jax.Array, x: jax.Array) -> jax.Array:
         precision=jax.lax.Precision.HIGHEST)
 
 
-def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
-       tol: float = 1e-7, atol: float = 0.0, maxiter: int | None = None,
-       precond: Callable | None = None) -> jax.Array:
-    """(Preconditioned) conjugate gradient for SPD ``matvec``.
-
-    Equivalent of the reference's ``CG_torch`` plain-solver function
-    (reference ``CG.py``), with a ``lax.while_loop`` instead of a Python
-    loop so it compiles to a single XLA computation.  ``precond`` is an
-    optional SPD approximate-inverse application ``z = M^{-1} r`` (e.g. a
-    Jacobi/diagonal preconditioner) — the reference has no preconditioning
-    at all; near-critical spectra (small gaps) are where it pays.
-    """
+def _cg_loop(matvec, b, x0, tol, atol, maxiter, precond):
+    """Shared PCG while_loop: returns ``(x, iterations)`` — the single
+    implementation behind :func:`cg` and :func:`cg_info` (they had
+    drifted copies of this body before round 4)."""
     if maxiter is None:
         maxiter = 10 * b.shape[-1]
     x0 = jnp.zeros_like(b) if x0 is None else x0
@@ -87,7 +79,23 @@ def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
 
     state0 = (x0, r0, z0, z0, hdot(r0, z0).real,
               jnp.zeros((), jnp.int32))
-    x, *_ = lax.while_loop(cond, body, state0)
+    x, _, _, _, _, it = lax.while_loop(cond, body, state0)
+    return x, it
+
+
+def cg(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
+       tol: float = 1e-7, atol: float = 0.0, maxiter: int | None = None,
+       precond: Callable | None = None) -> jax.Array:
+    """(Preconditioned) conjugate gradient for SPD ``matvec``.
+
+    Equivalent of the reference's ``CG_torch`` plain-solver function
+    (reference ``CG.py``), with a ``lax.while_loop`` instead of a Python
+    loop so it compiles to a single XLA computation.  ``precond`` is an
+    optional SPD approximate-inverse application ``z = M^{-1} r`` (e.g. a
+    Jacobi/diagonal preconditioner) — the reference has no preconditioning
+    at all; near-critical spectra (small gaps) are where it pays.
+    """
+    x, _ = _cg_loop(matvec, b, x0, tol, atol, maxiter, precond)
     return x
 
 
@@ -99,37 +107,9 @@ def cg_info(matvec: Callable, b: jax.Array, *,
     — observability the reference never exposes.  Forward-only (use the
     plain :func:`cg`/``solve_*`` wrappers inside differentiated code).
     Takes exactly :func:`cg`'s keyword signature."""
-    if maxiter is None:
-        maxiter = 10 * b.shape[-1]
-    x0 = jnp.zeros_like(b) if x0 is None else x0
-    M = (lambda r: r) if precond is None else precond
-    r0 = b - matvec(x0)
-    tol = tol_floor(tol, b.dtype)   # dtype-reachable target
-    target2 = jnp.maximum((tol * tol) * hdot(b, b).real, atol * atol)
-
-    def cond(s):
-        _, r, _, _, _, it = s
-        return jnp.logical_and(hdot(r, r).real > target2, it < maxiter)
-
-    def body(s):
-        x, r, z, p, rz, it = s
-        ap = matvec(p)
-        denom = hdot(p, ap).real
-        alpha = jnp.where(denom == 0, 0.0, rz / jnp.where(denom == 0, 1.0,
-                                                          denom))
-        x = x + alpha * p
-        r = r - alpha * ap
-        z = M(r)
-        rz_new = hdot(r, z).real
-        p = z + (rz_new / jnp.where(rz == 0, 1.0, rz)) * p
-        return (x, r, z, p, rz_new, it + 1)
-
-    z0 = M(r0)
-    out = lax.while_loop(cond, body, (x0, r0, z0, z0,
-                                      hdot(r0, z0).real,
-                                      jnp.zeros((), jnp.int32)))
-    res = jnp.linalg.norm(b - matvec(out[0])) / jnp.linalg.norm(b)
-    return out[0], out[5], res
+    x, it = _cg_loop(matvec, b, x0, tol, atol, maxiter, precond)
+    res = jnp.linalg.norm(b - matvec(x)) / jnp.linalg.norm(b)
+    return x, it, res
 
 
 def minres(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
@@ -406,6 +386,11 @@ def solve_deflated(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
     """
     if method not in ("cg", "minres"):
         raise ValueError(f"method must be cg|minres, got {method!r}")
+    if precond is not None and method != "cg":
+        # Loud, not silent: MINRES here has no preconditioned variant,
+        # and dropping the hook would leave the caller believing the
+        # preconditioner is active.
+        raise ValueError("precond is only supported with method='cg'")
     op = as_operator(op)
     if method == "minres":
         definite_sign = 1.0

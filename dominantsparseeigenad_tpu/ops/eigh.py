@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from .cg import solve_deflated
 from .lanczos import (LanczosInfo, _mm, lanczos, lanczos_adaptive,
                       lanczos_eigh)
-from .operators import LinearOperator, as_operator, tol_floor, hdot
+from .operators import as_operator, tol_floor, hdot
 
 
 @dataclasses.dataclass(frozen=True)
@@ -174,8 +174,15 @@ def _forward_info(op, extreme: str, opts: EighOptions):
         jnp.abs(lam), jnp.finfo(v.dtype).tiny)
     resid = jnp.real(resid).astype(jnp.finfo(v.dtype).dtype)
     conv = (resid <= ref_tol).astype(resid.dtype)
+    # effective_k = steps actually EXECUTED (the LanczosInfo contract):
+    # the restart tier runs one plain k-step cycle plus (k - num_kept)
+    # recurrence steps per restart (restart.py: _cycle continues from
+    # the k//4 retained Ritz vectors).
+    steps = float(k)
+    if opts.restart_cycles > 0 and extreme in ("min", "max"):
+        steps = float(k + opts.restart_cycles * (k - k // 4))
     info = LanczosInfo(
-        effective_k=jnp.asarray(float(k), resid.dtype),
+        effective_k=jnp.asarray(steps, resid.dtype),
         residual=resid, converged=conv)
     return lam, v, info
 
@@ -197,10 +204,7 @@ def _pair_jvp(op, dop, lam, v, sign, opts):
 
 @partial(jax.custom_jvp, nondiff_argnums=(1, 2))
 def _dominant_eigh(op, extreme: str, opts: EighOptions):
-    if extreme == "both":
-        return _forward(op, "both", opts)
-    lam, v = _forward(op, extreme, opts)
-    return lam, v
+    return _forward(op, extreme, opts)
 
 
 @_dominant_eigh.defjvp

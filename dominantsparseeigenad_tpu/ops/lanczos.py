@@ -27,10 +27,18 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .operators import (LinearOperator, as_operator, hdot,
+from .operators import (as_operator, hdot,
                         hmatmul as _mm, tol_floor)
 
-_BREAKDOWN_REL_TOL = 1e-8
+
+def _breakdown_rel_tol(real_dtype):
+    """Relative beta threshold for declaring a happy breakdown.
+
+    Scaled to the working precision (~100 eps: f32 -> ~1.2e-5, f64 ->
+    ~2.2e-14): a fixed constant either truncates f64 accuracy orders
+    above round-off (a beta of 1e-9*scale is a genuinely meaningful
+    coupling in f64) or misses true f32 breakdowns."""
+    return 100.0 * float(jnp.finfo(real_dtype).eps)
 
 
 class LanczosResult(NamedTuple):
@@ -169,7 +177,7 @@ def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
 
     # Breakdown: restart with a fresh vector orthogonal to the basis.
     scale = jnp.sqrt(jnp.abs(alpha) ** 2 + beta_prev ** 2) + 1.0
-    broke = beta <= _BREAKDOWN_REL_TOL * scale
+    broke = beta <= _breakdown_rel_tol(real_dtype) * scale
 
     def restart(_):
         r = jax.random.normal(jax.random.fold_in(key, i), (n,),
@@ -315,8 +323,11 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
     else:
         (basis, _, _, _), (alphas, betas) = lax.scan(
             make_step(active_rows=None), carry, jnp.arange(k))
+    # betas are computed in real_dtype for every k > 1; keep the k == 1
+    # empty array real too (a complex-dtype empty would silently promote
+    # any T assembled from it).
     return LanczosResult(alphas=alphas, betas=betas[:-1] if k > 1
-                         else jnp.zeros((0,), dtype=dtype),
+                         else jnp.zeros((0,), dtype=real_dtype),
                          basis=basis[:k].T)
 
 
@@ -541,5 +552,7 @@ def power_iteration(op, num_iters: int = 100, *,
 
     v = lax.fori_loop(0, num_iters, body, q0)
     lam = hdot(v, op.matvec(v))
+    # conj(sign): plain sign() would leave a complex pivot phase-DOUBLED
+    # instead of real-positive — same gauge as every other forward here.
     pivot = v[jnp.argmax(jnp.abs(v))]
-    return lam, v * jnp.sign(pivot)
+    return lam, v * jnp.conj(jnp.sign(pivot))

@@ -246,3 +246,18 @@ def test_complex_phase_sensitive_eigenvector_gradients():
 
     check(f_single)
     check(f_multi)
+
+
+def test_power_iteration_complex_pivot_gauge():
+    """Regression (round-4 review): power_iteration used sign(pivot)
+    instead of conj(sign(pivot)), leaving a complex pivot phase-DOUBLED
+    instead of real positive — inconsistent with every other forward."""
+    from dominantsparseeigenad_tpu import power_iteration
+
+    n = 32
+    h = _herm(n, 21) + jnp.diag(jnp.arange(1.0, n + 1))
+    lam, v = power_iteration(DenseOperator(h), num_iters=800)
+    evals = np.linalg.eigvalsh(np.asarray(h))
+    np.testing.assert_allclose(float(jnp.real(lam)), evals[-1], rtol=1e-8)
+    pivot = np.asarray(v)[np.argmax(np.abs(np.asarray(v)))]
+    assert abs(pivot.imag) < 1e-9 and pivot.real > 0, pivot
