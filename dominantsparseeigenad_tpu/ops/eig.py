@@ -525,9 +525,14 @@ def _subspace_2(mv, n, dtype, key, num_iters, tol):
 
     def step(q):
         z = jnp.stack([mv(q[:, 0]), mv(q[:, 1])], axis=1)
-        b = q.T @ z                         # 2x2 restriction
+        # HIGHEST-precision GEMMs (the repo-wide policy for internal
+        # reductions, see operators.hdot): at TPU DEFAULT precision the
+        # (n, 2) restriction/residual carry bf16 (~2^-8) rounding, giving
+        # `resid` a ~1e-2 floor that power_tol can never reach — the
+        # while_loop would burn its whole budget and report converged=0.
+        b = _mm(q.T, z)                     # 2x2 restriction
         # Residual of the invariant-subspace equation A Q = Q B.
-        resid = (jnp.linalg.norm(z - q @ b)
+        resid = (jnp.linalg.norm(z - _mm(q, b))
                  / jnp.maximum(jnp.linalg.norm(b), jnp.finfo(real_dtype).tiny))
         qn, rr = jnp.linalg.qr(z)
         # Fix QR's sign ambiguity so the iteration converges pointwise.
@@ -583,13 +588,13 @@ def _pair_forward(op, opts: EigOptions):
                        1j * jnp.sqrt(jnp.maximum(-disc, 0.0)),
                        jnp.where(tr >= 0, 1.0, -1.0)
                        * jnp.sqrt(jnp.maximum(disc, 0.0))).astype(cdtype))
-    r = qr_.astype(cdtype) @ _block_eigvec(br, lam)
+    r = _mm(qr_.astype(cdtype), _block_eigvec(br, lam))
     r = r / jnp.linalg.norm(r)
     pivot = r[jnp.argmax(jnp.abs(r))]
     r = r * jnp.conj(jnp.sign(pivot))
     # Left vector: A^T l = lam l — same eigenvalue of B_l by spectrum
     # symmetry of the real operator; normalized bilinearly l^T r = 1.
-    l = ql_.astype(cdtype) @ _block_eigvec(bl, lam)
+    l = _mm(ql_.astype(cdtype), _block_eigvec(bl, lam))
     l = l / jnp.sum(l * r)
     return lam, l, r, info
 
@@ -651,6 +656,12 @@ def dominant_eig_pair(op, num_iters: int = 500, *, tol: float = 1e-10,
 
     Returns ``(lam, l, r)`` complex, with ``||r|| = 1``, pivot entry of
     ``r`` real positive, and the BILINEAR normalization ``l^T r = 1``.
+    The heavy iteration is all-real (chip-friendly; its f32 convergence
+    is asserted on hardware); only the final (n, 2) recombination and
+    the IFT tangents are complex, which needs a backend with complex
+    support — this environment's tunneled TPU plugin has NONE (every
+    complex64 op is UNIMPLEMENTED, probed 2026-08-20), so complex
+    OUTPUTS are produced/validated on the CPU backend here.
     With ``with_info=True`` also returns a :class:`PowerInfo` for the
     2-D orthogonal iteration (max of the left/right sweeps; a spectrum
     whose 2nd/3rd moduli tie never converges and must be detectable
@@ -716,14 +727,6 @@ def dominant_eig_multi(op, m: int = 2, *, num_iters: int = 500,
     if m < 1:
         raise ValueError("m must be >= 1")
 
-    def _deflated_mv(params, x):
-        lam, l, r, inner = params
-        return inner.matvec(x) - lam * r * jnp.sum(l * x)
-
-    def _deflated_rmv(params, x):
-        lam, l, r, inner = params
-        return inner.rmatvec(x) - lam * l * jnp.sum(r * x)
-
     from .operators import MatrixFreeOperator
 
     lams, ls, rs, infos = [], [], [], []
@@ -743,9 +746,10 @@ def dominant_eig_multi(op, m: int = 2, *, num_iters: int = 500,
         ls.append(l)
         rs.append(r)
         if j + 1 < m:
-            cur = MatrixFreeOperator(_deflated_mv, (lam, l, r, cur),
+            cur = MatrixFreeOperator(_wielandt_deflate_mv,
+                                     (lam, l, r, cur),
                                      dim=op.dim, dtype=op.dtype,
-                                     rmatvec_fn=_deflated_rmv,
+                                     rmatvec_fn=_wielandt_deflate_rmv,
                                      symmetric=False)
     out = (jnp.stack(lams), jnp.stack(ls, axis=-1), jnp.stack(rs, axis=-1))
     if with_info:
@@ -753,29 +757,40 @@ def dominant_eig_multi(op, m: int = 2, *, num_iters: int = 500,
     return out
 
 
+# Projection coefficients below are elementwise-multiply + sum, NOT
+# `l @ x`: a 1-D dot_general lowers to the TPU's DEFAULT bf16-pass dot,
+# perturbing every deflated matvec by ~1e-2·|λ| relative and compounding
+# down a deflation cascade; the multiply+sum form accumulates in f32.
+
+def _wielandt_deflate_mv(params, x):
+    """Matvec of the rank-1 Wielandt deflation M - lam r l^T (l^T r = 1):
+    removes lam from the spectrum exactly, leaves every other eigenvalue
+    and its vectors untouched.  Shared by :func:`dominant_eig_multi` and
+    the real stages of :func:`dominant_eig_spectrum`."""
+    lam, l, r, inner = params
+    return inner.matvec(x) - lam * r * jnp.sum(l * x)
+
+
+def _wielandt_deflate_rmv(params, x):
+    lam, l, r, inner = params
+    return inner.rmatvec(x) - lam * l * jnp.sum(r * x)
+
+
 def _real_pair_deflate_mv(params, x):
     """Real matvec of M - 2 Re(lam r l^T): for a conjugate pair BOTH
     members deflate at once and the sum 2 Re(.) keeps the operator real
     (a = Re(lam r), b = Im(lam r); Re part of (a+ib)((lr+i li)^T x))."""
     a, b, lr, li, inner = params
-    return (inner.matvec(x) - 2.0 * (a * (lr @ x) - b * (li @ x)))
+    return (inner.matvec(x)
+            - 2.0 * (a * jnp.sum(lr * x) - b * jnp.sum(li * x)))
 
 
 def _real_pair_deflate_rmv(params, x):
     # (lam r l^T)^T = lam l r^T; same real-part algebra with the roles
     # of the stored real/imag factors transposed at construction.
     a, b, lr, li, inner = params
-    return (inner.rmatvec(x) - 2.0 * (lr * (a @ x) - li * (b @ x)))
-
-
-def _real_single_deflate_mv(params, x):
-    lam, l, r, inner = params
-    return inner.matvec(x) - lam * r * (l @ x)
-
-
-def _real_single_deflate_rmv(params, x):
-    lam, l, r, inner = params
-    return inner.rmatvec(x) - lam * l * (r @ x)
+    return (inner.rmatvec(x)
+            - 2.0 * (lr * jnp.sum(a * x) - li * jnp.sum(b * x)))
 
 
 def dominant_eig_spectrum(op, m: int = 4, *, num_iters: int = 500,
@@ -812,9 +827,15 @@ def dominant_eig_spectrum(op, m: int = 4, *, num_iters: int = 500,
     jit/grad/jvp-able to arbitrary order through the pair IFT rule,
     with each stage replayed by the SAME solver that produced it.
 
-    Returns ``(lams, ls, rs, structure)``: ``lams`` (m,) complex sorted
-    by descending |λ| (conjugate members adjacent), ``ls``/``rs``
-    (n, m) complex with ``||r_j|| = 1``, ``l_j^T r_j = 1``.
+    Returns ``(lams, ls, rs, structure)``: ``lams`` complex sorted by
+    descending |λ| (conjugate members adjacent), ``ls``/``rs`` complex
+    columns with ``||r_j|| = 1``, ``l_j^T r_j = 1``.  A conjugate pair
+    is never split: when the ``m``-th slot lands on the FIRST member of
+    a pair, both members are returned and ``lams`` has ``m + 1``
+    entries — dropping ``conj(λ)`` would break the adjacency contract
+    and make ``sum λ_j r_j l_j^T`` a complex "approximation" of a real
+    operator.  (Replaying a returned ``structure`` always reproduces
+    the same length.)
     """
     op = as_operator(op)
     if jnp.iscomplexobj(jnp.zeros((), op.dtype)):
@@ -837,14 +858,30 @@ def dominant_eig_spectrum(op, m: int = 4, *, num_iters: int = 500,
         if structure is not None:
             kind = structure[stage]
         else:
-            probe_out = dominant_eig(
-                cur, num_iters=num_iters, tol=tol, maxiter=maxiter,
-                seed=seed + stage, power_tol=power_tol, solver=solver,
-                method="arnoldi", with_info=True)
-            probe = probe_out[3]
-            kind = ("real" if (float(probe.converged) == 1.0
-                               and float(probe.rank1_defect) < 1e-2)
-                    else "pair")
+            # Cheap pair-ness precheck BEFORE the full 1-D solve: the
+            # Arnoldi seeding sweep's Perron defect alone decides it in
+            # ~2·arnoldi_k matvecs, whereas a complex-dominant stage
+            # would first burn the entire 1-D polish budget (its
+            # residual provably oscillates inside the pair's 2-plane)
+            # before the pair solver even starts — an order of
+            # magnitude of wasted matvecs per complex stage.
+            kr, kl = jax.random.split(jax.random.PRNGKey(seed + stage))
+            kk = max(2, min(32, op.dim))
+            _, d_r = _arnoldi_ritz_vector(cur.matvec, cur.dim, kk, kr,
+                                          cur.dtype)
+            _, d_l = _arnoldi_ritz_vector(cur.rmatvec, cur.dim, kk, kl,
+                                          cur.dtype)
+            if max(float(d_r), float(d_l)) >= 1e-2:
+                kind = "pair"
+            else:
+                probe_out = dominant_eig(
+                    cur, num_iters=num_iters, tol=tol, maxiter=maxiter,
+                    seed=seed + stage, power_tol=power_tol,
+                    solver=solver, method="arnoldi", with_info=True)
+                probe = probe_out[3]
+                kind = ("real" if (float(probe.converged) == 1.0
+                                   and float(probe.rank1_defect) < 1e-2)
+                        else "pair")
         built.append(kind)
         if kind == "real":
             if probe_out is not None:
@@ -895,9 +932,11 @@ def dominant_eig_spectrum(op, m: int = 4, *, num_iters: int = 500,
             ls.append(l_r.astype(l.dtype))
             rs.append(r_r.astype(r.dtype))
             cur = MatrixFreeOperator(
-                _real_single_deflate_mv, (lam_r, l_r, r_r, cur),
+                _wielandt_deflate_mv, (lam_r, l_r, r_r, cur),
                 dim=op.dim, dtype=op.dtype,
-                rmatvec_fn=_real_single_deflate_rmv, symmetric=False)
+                rmatvec_fn=_wielandt_deflate_rmv, symmetric=False)
         stage += 1
-    return (jnp.stack(lams[:m]), jnp.stack(ls[:m], axis=-1),
-            jnp.stack(rs[:m], axis=-1), tuple(built))
+    # len(lams) is m, or m+1 when the last stage was a pair — return the
+    # complete pair rather than a dangling half (see docstring).
+    return (jnp.stack(lams), jnp.stack(ls, axis=-1),
+            jnp.stack(rs, axis=-1), tuple(built))

@@ -138,6 +138,26 @@ def detect_slot_plan(cols, nb: int):
     return tuple(plan) if any_band else None
 
 
+def _slot_plan_matches(cols, nb, plan) -> bool:
+    """Verify a plan's band slots against CONCRETE ``cols`` (a mismatched
+    plan would DMA the wrong x slabs — numerically wrong, no error).
+    Traced ``cols`` can't be checked here and returns True: under jit the
+    plan/cols pairing was validated at the eager call that traced it, or
+    at operator construction (``BellOperator`` derives the plan from its
+    own concrete cols)."""
+    import numpy as np
+    try:
+        cs = np.asarray(cols)
+    except Exception:  # tracer
+        return True
+    i = np.arange(nb)
+    for j, (kind, off) in enumerate(plan):
+        if kind == "band" and not np.array_equal(
+                cs[:, j], (i + int(off)) % nb):
+            return False
+    return True
+
+
 def _spmv_kernel(depth, plan, cols_ref, vals_ref, x_hbm_ref, y_ref,
                  xg_ref, sems):
     # Grid: (row-group i, slot j).  Each step streams a (G, 1, bs, bs)
@@ -286,12 +306,25 @@ def _bell_spmv_pallas(vals, cols, x, *, interpret: bool = False,
     rhs_r = None if x.ndim == 1 else x.shape[-1]
     g = _pick_row_group(nb, bs, vals.dtype.itemsize, rhs_r or 1)
     smem_bytes = max_blk * (-(-nb // 128) * 128) * 4
-    if g is None or smem_bytes > 768 * 1024:
-        # Row count not tileable, or the index table would overflow the
-        # 1 MiB scalar-memory budget -> XLA fallback.
+    if g is None or smem_bytes > 768 * 1024 or (not interpret
+                                                and bs % 128 != 0):
+        # Row count not tileable, the index table would overflow the
+        # 1 MiB scalar-memory budget, or the block size is not a
+        # multiple of the 128-lane minor-dim tiling -> XLA fallback.
+        # (Mosaic rejects the gather/slab DMAs' (1, bs) HBM memref
+        # slices outright for bs < 128 — chip-verified at bs=32 — so
+        # small-block operators take the einsum path on hardware;
+        # interpret mode has no tiling and keeps exercising the kernel
+        # logic at small shapes in the CPU suite.)
         return _bell_spmv_xla(vals, cols, x)
-    if slot_plan is not None and len(slot_plan) != max_blk:
-        slot_plan = None  # stale plan (pattern changed); fall back
+    if slot_plan is not None and (
+            len(slot_plan) != max_blk          # stale (pattern changed)
+            or x.shape[0] // bs != nb          # rectangular row panel:
+            # band offsets are defined on the SQUARE ring (i + o) % nb;
+            # against a wider gathered vector they'd fetch slabs
+            # unrelated to what cols actually indexes
+            or not _slot_plan_matches(cols, nb, slot_plan)):
+        slot_plan = None  # generic gathers are always correct
     # Narrow-values tier (vals stored bf16): ONLY the value blocks are
     # narrow — x stays at its own (f32) dtype end to end.  The x gather
     # is ~1/bs of the value stream, so narrowing it would buy <1%

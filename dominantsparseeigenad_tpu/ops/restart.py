@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .lanczos import _mm
+from .lanczos import _breakdown_rel_tol, _mm, _project_out
 from .operators import as_operator, hdot
 
 
@@ -44,10 +44,28 @@ class RestartState(NamedTuple):
 
 def _cycle(op, state: RestartState, k: int, extreme: str,
            reorth_passes: int):
-    """One thick-restart cycle: continue Lanczos from the arrowhead."""
+    """One thick-restart cycle: continue Lanczos from the arrowhead.
+
+    Breakdown-safe like :func:`~.lanczos.lanczos_step` — and it must be
+    MORE careful than the single-shot engine: a cycle can exhaust the
+    space many steps before its window ends (k close to op.dim, or a
+    late cycle on a small problem).  Normalizing the ~0 residual there
+    yields a vector that is NOT orthogonal to the basis, and the block
+    reorthogonalization against a non-orthonormal basis is no longer a
+    contraction — the recurrence then amplifies exponentially (observed:
+    Ritz values at 1e126 within three cycles; round-4 review).  So on
+    breakdown the recurrence restarts with a fresh orthonormalized
+    vector (beta coupling zeroed); if even that has no orthogonal
+    complement left (space exhausted) the remaining steps go DEAD: zero
+    vectors, zero couplings, and their spurious t-diagonal entries are
+    pushed past the requested spectral end so Ritz extraction never
+    selects them."""
     l = state.theta.shape[0]
     n, dtype = op.dim, state.q.dtype
     real_dtype = jnp.finfo(dtype).dtype
+    rtol = _breakdown_rel_tol(real_dtype)
+    tiny = jnp.finfo(real_dtype).tiny
+    key = jax.random.PRNGKey(0x5452)  # deterministic restart stream
 
     basis = jnp.zeros((k + 1, n), dtype=dtype)
     basis = basis.at[:l].set(state.y).at[l].set(state.q)
@@ -56,14 +74,44 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
     t = t.at[jnp.arange(l), jnp.arange(l)].set(state.theta)
     t = t.at[l, :l].set(state.s).at[:l, l].set(state.s)
 
+    # A dead continuation vector from the previous cycle (space was
+    # exhausted there) keeps the whole cycle dead — resurrecting it with
+    # a fresh random vector would re-derive eigenvalues already retained
+    # in theta, and the duplicate Ritz vectors would destroy the next
+    # cycle's basis orthonormality.
+    dead0 = jnp.linalg.norm(state.q) < 0.5
+
+    def continuation(basis_rows, w, b, scale, dead_in, j):
+        """(q_next, beta_out, row_dead, dead_out) after step ``j``."""
+        broke = b <= rtol * scale
+        r = jax.random.normal(jax.random.fold_in(key, j), (n,),
+                              dtype=dtype)
+        r = r / jnp.linalg.norm(r)
+        r = _project_out(basis_rows, r)
+        r = _project_out(basis_rows, r)
+        rn = jnp.linalg.norm(r).astype(real_dtype)
+        exhausted = rn <= jnp.sqrt(jnp.asarray(float(n), real_dtype)) * rtol
+        dead_out = jnp.logical_or(dead_in,
+                                  jnp.logical_and(broke, exhausted))
+        q_next = jnp.where(
+            dead_out, jnp.zeros_like(w),
+            jnp.where(broke, r / jnp.maximum(rn, tiny).astype(dtype),
+                      w / jnp.where(b > 0, b, 1.0)))
+        beta_out = jnp.where(jnp.logical_or(broke, dead_out),
+                             jnp.zeros_like(b), b)
+        return q_next, beta_out, dead_in, dead_out
+
     # Step l (arrowhead column): w = A q - sum_i s_i y_i - alpha q.
     w = op.matvec(state.q)
     alpha = jnp.real(hdot(state.q, w)).astype(real_dtype)
+    alpha = jnp.where(dead0, jnp.zeros_like(alpha), alpha)
     w = w - alpha * state.q - state.s.astype(dtype) @ state.y
     for _ in range(reorth_passes):
         w = w - basis.T @ (basis.conj() @ w)
     beta = jnp.linalg.norm(w).astype(real_dtype)
-    q_next = w / jnp.where(beta > 0, beta, 1.0)
+    scale0 = jnp.abs(alpha) + jnp.linalg.norm(state.s) + 1.0
+    q_next, beta, row_dead0, dead = continuation(basis, w, beta, scale0,
+                                                 dead0, l)
     t = t.at[l, l].set(alpha)
     if l + 1 < k:
         t = t.at[l + 1, l].set(beta).at[l, l + 1].set(beta)
@@ -71,27 +119,42 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
 
     # Steps l+1 .. k-1: plain tridiagonal recurrence with full reorth.
     def step(carry, j):
-        basis, t, q, q_prev, beta_prev = carry
+        basis, t, q, q_prev, beta_prev, dead_in = carry
         w = op.matvec(q)
         a = jnp.real(hdot(q, w)).astype(real_dtype)
+        a = jnp.where(dead_in, jnp.zeros_like(a), a)
         w = w - a * q - beta_prev * q_prev
         for _ in range(reorth_passes):
             w = w - basis.T @ (basis.conj() @ w)
         b = jnp.linalg.norm(w).astype(real_dtype)
-        qn = w / jnp.where(b > 0, b, 1.0)
+        scale = jnp.sqrt(a * a + beta_prev * beta_prev) + 1.0
+        qn, b_out, row_dead, dead_out = continuation(basis, w, b, scale,
+                                                     dead_in, j)
         t = t.at[j, j].set(a)
         t = lax.cond(
             j + 1 < k,
-            lambda t: t.at[j + 1, j].set(b).at[j, j + 1].set(b),
+            lambda t: t.at[j + 1, j].set(b_out).at[j, j + 1].set(b_out),
             lambda t: t, t)
         basis = lax.cond(
             j + 1 <= k,
             lambda bs: bs.at[j + 1].set(qn),
             lambda bs: bs, basis)
-        return (basis, t, qn, q, b), b
+        return (basis, t, qn, q, b_out, dead_out), (b_out, row_dead)
 
-    (basis, t, _, _, beta_last), _ = lax.scan(
-        step, (basis, t, q_next, state.q, beta), jnp.arange(l + 1, k))
+    (basis, t, _, _, beta_last, _), (_, row_deads) = lax.scan(
+        step, (basis, t, q_next, state.q, beta, dead), jnp.arange(l + 1, k))
+
+    # Dead rows contributed alpha = 0 with zero couplings; shift those
+    # spurious diagonal zeros PAST the requested spectral end (Gershgorin
+    # bound of the genuine entries) so the ordered selection below can
+    # never pick one over a genuine Ritz value.  t is block-diagonal
+    # across the zeroed couplings, so the shift is exact.
+    dead_mask = jnp.zeros((k,), bool)
+    dead_mask = dead_mask.at[l].set(row_dead0)
+    dead_mask = dead_mask.at[l + 1:].set(row_deads)
+    bound = jnp.sum(jnp.abs(t)) + 1.0
+    shift = bound if extreme == "min" else -bound
+    t = t + jnp.diag(jnp.where(dead_mask, shift, 0.0))
 
     evals, evecs = jnp.linalg.eigh(t)
     order = (jnp.arange(l + 1) if extreme == "min"
@@ -148,9 +211,32 @@ def restart_init(op, k: int = 64, *, num_kept: int | None = None,
         w = w - res.betas[-1] * res.basis[:, -2]
     w = w - _mm(res.basis, _mm(res.basis.conj().T, w))
     w = w - _mm(res.basis, _mm(res.basis.conj().T, w))
-    beta_last = jnp.linalg.norm(w).astype(jnp.finfo(dtype).dtype)
-    q = w / jnp.where(beta_last > 0, beta_last, 1.0)
-    s = beta_last * sel[k - 1, :]
+    real_dtype = jnp.finfo(dtype).dtype
+    beta_last = jnp.linalg.norm(w).astype(real_dtype)
+    # Breakdown-safe continuation (same hazard as _cycle: normalizing a
+    # ~0 residual yields a non-orthogonal junk vector whose reorth
+    # projector amplifies later cycles exponentially).  On breakdown the
+    # coupling s is zero by construction; continue from a fresh
+    # orthonormalized vector, or a DEAD zero vector when the k-step run
+    # already spanned the whole space.
+    rtol = _breakdown_rel_tol(real_dtype)
+    last_beta = (res.betas[-1] if res.betas.shape[0]
+                 else jnp.zeros((), real_dtype))
+    broke = beta_last <= rtol * (jnp.abs(res.alphas[-1])
+                                 + jnp.abs(last_beta) + 1.0)
+    r = jax.random.normal(jax.random.PRNGKey(0x5452), (n,), dtype=dtype)
+    r = r / jnp.linalg.norm(r)
+    r = r - _mm(res.basis, _mm(res.basis.conj().T, r))
+    r = r - _mm(res.basis, _mm(res.basis.conj().T, r))
+    rn = jnp.linalg.norm(r).astype(real_dtype)
+    exhausted = rn <= jnp.sqrt(jnp.asarray(float(n), real_dtype)) * rtol
+    dead = jnp.logical_and(broke, exhausted)
+    tiny = jnp.finfo(real_dtype).tiny
+    q = jnp.where(
+        dead, jnp.zeros_like(w),
+        jnp.where(broke, r / jnp.maximum(rn, tiny).astype(dtype),
+                  w / jnp.where(beta_last > 0, beta_last, 1.0)))
+    s = jnp.where(broke, 0.0, beta_last) * sel[k - 1, :]
     return RestartState(theta=theta, y=y, s=jnp.real(s), q=q)
 
 
@@ -164,7 +250,17 @@ def restart_cycle(op, state: RestartState, k: int, *,
     """
     op = as_operator(op)
     l = state.theta.shape[0]
-    new = _cycle(op, state, int(k), extreme, int(reorth_passes))
+    # Same clamp as restart_init/lanczos_restarted: without it the
+    # documented cycle-by-cycle driving pattern (restart_init clamps its
+    # own k, the user passes the ORIGINAL k here) builds a basis wider
+    # than the space — rows beyond op.dim stay ~0 and eigh(t) yields
+    # spurious ~0 Ritz values that "converge" silently.
+    k = int(min(k, op.dim))
+    if l + 2 > k:
+        raise ValueError(
+            f"need k >= num_kept + 2, got k={k} (clamped to op.dim="
+            f"{op.dim}) with {l} retained Ritz vectors")
+    new = _cycle(op, state, k, extreme, int(reorth_passes))
     trimmed = RestartState(theta=new.theta[:l], y=new.y[:l],
                            s=new.s[:l], q=new.q)
     return trimmed, jnp.abs(new.s[0])

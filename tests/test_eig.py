@@ -519,3 +519,41 @@ def test_dominant_eig_spectrum_degenerate_real_cluster():
         a, m=3, num_iters=2000, power_tol=1e-12, structure=structure)
     np.testing.assert_allclose(np.asarray(lams2), np.asarray(lams),
                                rtol=1e-10)
+
+
+def test_dominant_eig_spectrum_never_splits_a_pair():
+    """Regression (round-4 review): when the m-th slot lands on the first
+    member of a conjugate pair, BOTH members must be returned (m+1
+    entries) — a dangling half would break the adjacency contract and
+    make sum(lam_j r_j l_j^T) complex for a real operator."""
+    from dominantsparseeigenad_tpu import dominant_eig_spectrum
+
+    n = 32
+    rng = np.random.default_rng(104)
+    blk = np.zeros((n, n))
+    blk[0, 0] = 3.0                                   # real
+    th = 0.7
+    blk[1:3, 1:3] = 2.5 * np.array([[np.cos(th), -np.sin(th)],
+                                    [np.sin(th), np.cos(th)]])  # pair
+    blk[3:, 3:] = np.diag(0.5 * rng.random(n - 3))
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = jnp.asarray(q @ blk @ q.T)
+
+    # m=2 lands mid-pair: stage 0 takes the real 3.0, stage 1 is the
+    # pair -> 3 eigenvalues come back, conjugate members adjacent.
+    lams, ls, rs, structure = dominant_eig_spectrum(
+        a, m=2, num_iters=800, power_tol=1e-12)
+    assert structure == ("real", "pair")
+    assert lams.shape == (3,) and ls.shape == (n, 3) and rs.shape == (n, 3)
+    np.testing.assert_allclose(complex(lams[2]),
+                               complex(jnp.conj(lams[1])), rtol=1e-12)
+    w = np.linalg.eigvals(np.asarray(a))
+    w = w[np.argsort(-np.abs(w))][:3]
+    np.testing.assert_allclose(np.sort_complex(np.asarray(lams)),
+                               np.sort_complex(w), rtol=1e-7)
+    # Structure replay keeps the same (m+1) length - fixed trace.
+    lams2, _, _, _ = dominant_eig_spectrum(
+        a, m=2, num_iters=800, power_tol=1e-12, structure=structure)
+    assert lams2.shape == (3,)
+    np.testing.assert_allclose(np.asarray(lams2), np.asarray(lams),
+                               rtol=1e-9)

@@ -65,3 +65,28 @@ def test_restart_forward_in_dominant_eigh():
     d2 = jax.jit(jax.grad(jax.grad(e0)))(jnp.float64(1.0))
     ex_2 = jax.grad(jax.grad(lambda g: tfim_exact_e0(n, g)))(jnp.float64(1.0))
     np.testing.assert_allclose(d2, ex_2, rtol=1e-9)
+
+
+def test_restart_cycle_clamps_oversized_k():
+    """Regression (round-4 review): the documented cycle-by-cycle driving
+    pattern passes the USER's k to restart_cycle, while restart_init
+    clamps its own k to op.dim — an unclamped cycle then builds a basis
+    wider than the space whose spurious ~0 Ritz values 'converge'
+    silently.  The clamped call must match the correctly-sized one."""
+    from dominantsparseeigenad_tpu.ops.restart import (
+        restart_cycle, restart_extract, restart_init)
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((32, 32))
+    a = jnp.asarray((a + a.T) / 2)
+
+    state_big = restart_init(a, k=64)     # clamps to dim=32 internally
+    state_ref = restart_init(a, k=32)
+    for _ in range(4):
+        state_big, _ = restart_cycle(a, state_big, 64)   # must clamp too
+        state_ref, _ = restart_cycle(a, state_ref, 32)
+    np.testing.assert_allclose(np.asarray(state_big.theta),
+                               np.asarray(state_ref.theta), rtol=1e-12)
+    lam, _, _ = restart_extract(state_big)
+    evals = np.linalg.eigvalsh(np.asarray(a))
+    np.testing.assert_allclose(float(lam), evals[0], rtol=1e-10)

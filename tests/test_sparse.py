@@ -416,3 +416,36 @@ def test_bell_spmm_parity_and_block_solver():
                                   tol=1e-9, maxiter=400)
     dense = np.linalg.eigvalsh(np.asarray(op64.to_dense()))
     np.testing.assert_allclose(np.asarray(lams)[:3], dense[:3], rtol=1e-5)
+
+
+def test_bell_mismatched_slot_plan_falls_back():
+    """Regression (round-4 review): a slot plan whose band offsets do not
+    match the passed cols — or a plan applied to a rectangular row panel —
+    must be REJECTED (generic gathers are always correct), not silently
+    DMA the wrong x slabs."""
+    from dominantsparseeigenad_tpu.ops.pallas_spmv import (bell_spmv,
+                                                           _bell_spmv_xla)
+
+    n, bs = 512, 32
+    op = random_bell_operator(jax.random.PRNGKey(23), n=n, bs=bs,
+                              blocks_per_row=5, dtype=jnp.float32,
+                              use_pallas=False)
+    x = jax.random.normal(jax.random.PRNGKey(24), (n,), jnp.float32)
+    oracle = np.asarray(op.matvec(x))
+
+    # Same length, wrong offsets (a plan from a DIFFERENT operator).
+    nb = op.vals.shape[0]
+    bad = tuple(("band", (off + 1) % nb) for _, off in op.slot_plan)
+    y_bad = bell_spmv(op.vals, op.cols, x, True, bad)
+    np.testing.assert_allclose(np.asarray(y_bad), oracle,
+                               rtol=1e-6, atol=1e-6)
+
+    # Square-operator plan against a rectangular row panel: band offsets
+    # are defined on the square ring and do not transfer.
+    rows = nb // 2
+    y_panel = bell_spmv(op.vals[:rows], op.cols[:rows], x, True,
+                        op.slot_plan)
+    y_panel_ref = _bell_spmv_xla(op.vals[:rows], op.cols[:rows], x)
+    np.testing.assert_allclose(np.asarray(y_panel),
+                               np.asarray(y_panel_ref),
+                               rtol=1e-6, atol=1e-6)

@@ -195,3 +195,20 @@ def test_dominant_eig_transfer_matrix_on_chip():
     assert abs(float(lam) - 1.0) < 1e-4
     # Clean Perron matrix: the repeated-squaring collapse must be rank-1.
     assert float(info.rank1_defect) < 0.1
+
+
+def test_small_block_spmv_falls_back_on_chip():
+    """bs < 128 violates Mosaic's 128-lane minor-dim tiling for the
+    gather/slab DMAs (chip-verified: bs=32 used to fail compilation
+    outright); the operator must route to the XLA einsum instead and
+    stay numerically exact."""
+    from dominantsparseeigenad_tpu import random_bell_operator, bell_spmv
+
+    op = random_bell_operator(jax.random.PRNGKey(2), n=1024, bs=32,
+                              blocks_per_row=5, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (op.n,), jnp.float32)
+    y = np.asarray(jax.jit(
+        lambda v, c, xx: bell_spmv(v, c, xx, False, op.slot_plan))(
+            op.vals, op.cols, x))
+    y_ref = np.asarray(jax.jit(lambda o, xx: o.matvec(xx))(op, x))
+    assert np.abs(y - y_ref).max() <= 1e-6 * np.abs(y_ref).max() + 1e-7
