@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from .cg import solve_deflated
 from .lanczos import (LanczosInfo, _mm, lanczos, lanczos_adaptive,
                       lanczos_eigh)
-from .operators import as_operator, tol_floor, hdot
+from .operators import as_operator, pivot_gauge, tol_floor, hdot
 
 
 @dataclasses.dataclass(frozen=True)
@@ -286,12 +286,10 @@ def _multi_forward(op, extreme: str, opts: EighMultiOptions):
            else k - 1 - jnp.arange(opts.r))
     lams = evals[idx]
     v = _mm(res.basis, evecs[:, idx])
-    # Deterministic per-vector phase gauge: conj(sign) makes each pivot
-    # entry real positive (matches lanczos_eigh._pair; plain sign() would
-    # leave complex columns phase-rotated, not gauge-fixed).
-    pivots = jnp.take_along_axis(v, jnp.argmax(jnp.abs(v), axis=0)[None],
-                                 axis=0)[0]
-    return lams, v * jnp.conj(jnp.sign(pivots))[None, :]
+    # Deterministic per-vector phase gauge (shared pivot_gauge helper:
+    # pivot entry real positive, matching lanczos_eigh._pair and the
+    # tangent rules' _pivot_phase_project).
+    return lams, pivot_gauge(v)
 
 
 def _multi_forward_info(op, extreme: str, opts: EighMultiOptions):

@@ -76,6 +76,12 @@ def _interior_eigh_jvp(opts, primals, tangents):
     rhs = -(dAv - dlam * v)
     dv = solve_deflated(op, lam, v, rhs, method="minres", tol=opts.tol,
                         maxiter=opts.maxiter)
+    # Complex phase-gauge correction (same rule as every other
+    # eigenvector tangent in the package — this was the one JVP that
+    # missed it when the fix landed, leaving phase-sensitive gradients
+    # of complex operators silently off; real dtypes: no-op).
+    from .eigh import _pivot_phase_project
+    dv = _pivot_phase_project(v, dv)
     return (lam, v), (dlam, dv)
 
 

@@ -41,7 +41,8 @@ from jax import lax
 
 # All basis-hygiene GEMMs run at HIGHEST precision (shared policy in
 # operators.hmatmul): the TPU bf16 default breaks Gram orthonormality.
-from .operators import as_operator, hmatmul as _mm, tol_floor
+from .operators import (as_operator, hmatmul as _mm, pivot_gauge,
+                        tol_floor)
 
 class LobpcgInfo(NamedTuple):
     """Convergence report (float scalars — safe as custom_jvp outputs).
@@ -86,13 +87,17 @@ def _whiten_metric(S, MS, companions, drop_tol):
     scale = jnp.where(keep, lax.rsqrt(jnp.maximum(d, jnp.finfo(d.dtype).tiny)),
                       0.0).astype(S.dtype)
     t = u * scale[None, :]
-    return tuple(_mm(c, t) for c in companions), keep
+    # t is ALSO returned: it maps whitened-basis coefficients back to the
+    # original [X, W, P] block coordinates (S_white = S t), which the
+    # conjugate-direction update needs — block structure does not survive
+    # the whitening.
+    return tuple(_mm(c, t) for c in companions), keep, t
 
 
 def _whiten(S, AS, drop_tol):
     """Euclidean-metric whitening of ``(S, AS)``."""
-    (so, aso), keep = _whiten_metric(S, S, (S, AS), drop_tol)
-    return so, aso, keep
+    (so, aso), keep, t = _whiten_metric(S, S, (S, AS), drop_tol)
+    return so, aso, keep, t
 
 
 def _rayleigh_ritz(So, ASo, keep, r):
@@ -170,7 +175,7 @@ def lobpcg_eigh(op, r: int = 4, *, extreme: str = "min",
     zeros = jnp.zeros((n, r), dtype)
     # A random (n, r) block is full rank at working precision, so the
     # whitening mask is all-keep here; AS is tracked from the next matmat.
-    x0, _, _ = _whiten(x0, zeros, drop_tol)
+    x0, _, _, _ = _whiten(x0, zeros, drop_tol)
     ax0 = amat(x0)
     lams0 = jnp.real(jnp.einsum("ni,ni->i", x0.conj(), ax0,
                                  precision=jax.lax.Precision.HIGHEST)).astype(real_dtype)
@@ -201,14 +206,37 @@ def lobpcg_eigh(op, r: int = 4, *, extreme: str = "min",
         w, aw = _colnormalize((w, aw))
         s = jnp.concatenate([x, w, p], axis=1)
         a_s = jnp.concatenate([ax, aw, ap], axis=1)
-        so, aso, keep = _whiten(s, a_s, drop_tol)
+        so, aso, keep, t = _whiten(s, a_s, drop_tol)
         lams_new, y = _rayleigh_ritz(so, aso, keep, r)
         x_new = _mm(so, y)
         ax_new = _mm(aso, y)
-        # Next conjugate directions: the W/P contribution to the update
-        # (zero the X-block rows of Y), column-normalized for scale.
-        y_wp = y.at[:r, :].set(0)
-        p_new, ap_new = _colnormalize((_mm(so, y_wp), _mm(aso, y_wp)))
+        # Next conjugate directions: the W/P contribution to the update,
+        # removed in the ORIGINAL [X, W, P] block coordinates.  The
+        # whitening mixes the blocks (S_white = S t), so zeroing rows of
+        # y would leave an X component inside P — the subspace then
+        # collapses towards [X, W] and the method degrades to (slow)
+        # block steepest descent: measured 10x the iterations at
+        # condition 1e2 and non-convergence at 1e4 (round-4 review,
+        # numpy-replicated).  Zero the X rows of t @ y instead — and then
+        # orthonormalize the block (Duersch–Shao–Yang "ortho" variant):
+        # when the subspace Gram is ill-conditioned (late-stage filter
+        # plateaus) t carries rsqrt-of-tiny factors and s @ c_wp is a
+        # difference of near-parallel vectors, so a bare column
+        # normalization would amplify its round-off garbage into the
+        # next basis (observed: Ritz values exploding to 1e63 inside
+        # spectral_slice).  Dropped columns zero out harmlessly.
+        c_wp = _mm(t, y).at[:r, :].set(0)
+        p_raw = _mm(s, c_wp)
+        p_raw = p_raw - _mm(x_new, _mm(x_new.conj().T, p_raw))
+        (p_new,), _, _ = _whiten_metric(p_raw, p_raw, (p_raw,), drop_tol)
+        # A P is RE-APPLIED, not tracked: c_wp carries rsqrt-of-tiny
+        # whitening factors near ill-conditioning, so the tracked image
+        # a_s @ c_wp loses all consistency to cancellation (observed as
+        # Ritz values exploding to 1e79 on filter plateaus).  One extra
+        # blocked matvec per iteration buys unconditional stability —
+        # cheap against the ~10x iteration savings of the block-correct
+        # P update.
+        ap_new = amat(p_new)
         _, res = resid_norm(x_new, ax_new, lams_new)
         return (x_new, ax_new, p_new, ap_new,
                 lams_new.astype(real_dtype), res, it + 1)
@@ -218,10 +246,9 @@ def lobpcg_eigh(op, r: int = 4, *, extreme: str = "min",
     x, ax, _, _, lams, res, it = lax.while_loop(cond, body, state0)
 
     lams = (sign * lams).astype(real_dtype)
-    # Deterministic pivot-phase gauge (matches eigh._multi_forward).
-    pivots = jnp.take_along_axis(x, jnp.argmax(jnp.abs(x), axis=0)[None],
-                                 axis=0)[0]
-    x = x * jnp.conj(jnp.sign(pivots))[None, :]
+    # Deterministic pivot-phase gauge (shared helper — one definition
+    # for every forward engine).
+    x = pivot_gauge(x)
     if not with_info:
         return lams, x
     info = LobpcgInfo(
@@ -271,15 +298,15 @@ def lobpcg_eigh_general(a, b, r: int = 4, *, extreme: str = "min",
 
     def _whiten_b(S, AS, BS):
         # B-metric whitening: G = S^H (B S); same shared core.
-        (so, aso, bso), keep = _whiten_metric(S, BS, (S, AS, BS),
-                                              drop_tol)
-        return so, aso, bso, keep
+        (so, aso, bso), keep, t = _whiten_metric(S, BS, (S, AS, BS),
+                                                 drop_tol)
+        return so, aso, bso, keep, t
 
     x0 = jax.random.normal(key, (n, r), real_dtype).astype(dtype)
     # B(S t) = (B S) t, so the transformed B-block returned by the
     # whitening IS B x0 for the whitened x0 — no extra matmat needed.
-    x0, _, bx0, _ = _whiten_b(x0, jnp.zeros((n, r), dtype),
-                              b.matmat(x0))
+    x0, _, bx0, _, _ = _whiten_b(x0, jnp.zeros((n, r), dtype),
+                                 b.matmat(x0))
     ax0 = amat(x0)
     lams0 = jnp.real(jnp.einsum(
         "ni,ni->i", x0.conj(), ax0,
@@ -309,12 +336,25 @@ def lobpcg_eigh_general(a, b, r: int = 4, *, extreme: str = "min",
         s = jnp.concatenate([x, w, p], axis=1)
         a_s = jnp.concatenate([ax, aw, ap], axis=1)
         b_s = jnp.concatenate([bx, bw, bp], axis=1)
-        so, aso, bso, keep = _whiten_b(s, a_s, b_s)
+        so, aso, bso, keep, t = _whiten_b(s, a_s, b_s)
         lams_new, y = _rayleigh_ritz(so, aso, keep, r)
         x_new, ax_new, bx_new = _mm(so, y), _mm(aso, y), _mm(bso, y)
-        y_wp = y.at[:r, :].set(0)
-        p_new, ap_new, bp_new = _colnormalize(
-            (_mm(so, y_wp), _mm(aso, y_wp), _mm(bso, y_wp)))
+        # W/P contribution in ORIGINAL block coordinates, then
+        # B-orthonormalized against X and within the block (see the
+        # standard loop: zeroing rows of y leaves an X component in P,
+        # and a bare normalization of s @ c_wp amplifies round-off when
+        # the subspace Gram is ill-conditioned).
+        c_wp = _mm(t, y).at[:r, :].set(0)
+        p_raw = _mm(s, c_wp)
+        # B-project off X (X is B-orthonormal; bx_new tracks through the
+        # bounded y combination, so it is consistent), then Euclidean-
+        # whiten for scale and RE-APPLY both operators — the tracked
+        # a_s/b_s @ c_wp images lose consistency to cancellation exactly
+        # like the standard loop.
+        p_raw = p_raw - _mm(x_new, _mm(bx_new.conj().T, p_raw))
+        (p_new,), _, _ = _whiten_metric(p_raw, p_raw, (p_raw,), drop_tol)
+        ap_new = amat(p_new)
+        bp_new = b.matmat(p_new)
         _, res = resid_norm(x_new, ax_new, bx_new, lams_new)
         return (x_new, ax_new, bx_new, p_new, ap_new, bp_new,
                 lams_new.astype(real_dtype), res, it + 1)
@@ -325,9 +365,7 @@ def lobpcg_eigh_general(a, b, r: int = 4, *, extreme: str = "min",
     x, lams, res, it = out[0], out[6], out[7], out[8]
 
     lams = (sign * lams).astype(real_dtype)
-    pivots = jnp.take_along_axis(x, jnp.argmax(jnp.abs(x), axis=0)[None],
-                                 axis=0)[0]
-    x = x * jnp.conj(jnp.sign(pivots))[None, :]
+    x = pivot_gauge(x)
     if not with_info:
         return lams, x
     info = LobpcgInfo(iterations=it.astype(real_dtype),

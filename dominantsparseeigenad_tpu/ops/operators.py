@@ -60,6 +60,27 @@ def hdot(a, b):
     return jnp.vdot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
+def pivot_gauge(v, *companions):
+    """Deterministic pivot-phase gauge: scale each eigenvector column
+    (axis 0; or a single (N,) vector) so its largest-magnitude entry is
+    real positive.  ONE definition shared by every forward engine
+    (Lanczos block solvers, LOBPCG, spectrum slicing) — the IFT tangent
+    rules' ``_pivot_phase_project`` assumes exactly this gauge, so
+    drifting per-module copies would silently desynchronize a forward
+    from its own derivative rule.  Real dtypes: fixes the sign.
+
+    ``companions`` (e.g. a tracked ``A @ v`` image) get the same phase;
+    with companions the return is a tuple ``(v', *companions')``."""
+    if v.ndim == 1:
+        phase = jnp.conj(jnp.sign(v[jnp.argmax(jnp.abs(v))]))
+    else:
+        idx = jnp.argmax(jnp.abs(v), axis=0)
+        pivots = jnp.take_along_axis(v, idx[None], axis=0)[0]
+        phase = jnp.conj(jnp.sign(pivots))[None, :]
+    out = (v * phase,) + tuple(c * phase for c in companions)
+    return out if companions else out[0]
+
+
 def tol_floor(tol: float, dtype) -> float:
     """Clamp a relative tolerance to what ``dtype`` can actually resolve.
 
@@ -155,17 +176,26 @@ class DenseOperator(LinearOperator):
 
     a: jax.Array
 
+    # Applications are pinned to HIGHEST precision: f32-stored entries
+    # get genuine f32 math (the BellOperator tier makes the same call —
+    # narrow storage is the explicit opt-in for narrow math).  The TPU
+    # default is otherwise INCONSISTENT between the paths: chip-measured,
+    # a (n,n)@(n,) matvec already runs full f32 but the same operator's
+    # (n,n)@(n,r) matmat drops to one bf16 pass (2.5e-3 relative error),
+    # which silently cost the block solvers (LOBPCG/dominant_eigh_multi)
+    # two digits while the vector solvers stayed accurate.
+
     def matvec(self, x):
-        return self.a @ x
+        return hmatmul(self.a, x)
 
     def rmatvec(self, x):
-        return self.a.T @ x
+        return hmatmul(self.a.T, x)
 
     def matmat(self, X):
-        return self.a @ X
+        return hmatmul(self.a, X)
 
     def rmatmat(self, X):
-        return self.a.T @ X
+        return hmatmul(self.a.T, X)
 
     def to_dense(self):
         return self.a
@@ -341,7 +371,7 @@ class DeflatedOperator(LinearOperator):
 
     def _project(self, x):
         V = self.V if self.V.ndim == 2 else self.V[:, None]
-        return x - V @ (V.conj().T @ x)
+        return x - hmatmul(V, hmatmul(V.conj().T, x))
 
     def matvec(self, x):
         return self._project(self.op.matvec(self._project(x)))

@@ -41,9 +41,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from .cg import solve_deflated
-from .lanczos import lanczos
+from .lanczos import _tridiagonal, lanczos
 from .operators import hmatmul as _mm
-from .operators import MatrixFreeOperator, as_operator, tol_floor
+from .operators import (MatrixFreeOperator, as_operator, pivot_gauge,
+                        tol_floor)
 
 
 class SliceInfo(NamedTuple):
@@ -78,10 +79,7 @@ def spectral_bounds(op, k: int = 30, *, key=None, margin: float = 0.1):
     if key is None:
         key = jax.random.PRNGKey(1)
     res = lanczos(op, min(int(k), op.dim), key=key, reorth_passes=1)
-    t = jnp.diag(res.alphas)
-    if res.betas.shape[0]:
-        t = t + jnp.diag(res.betas, 1) + jnp.diag(res.betas, -1)
-    evals = jnp.linalg.eigvalsh(t)
+    evals = jnp.linalg.eigvalsh(_tridiagonal(res.alphas, res.betas))
     lo, hi = evals[0], evals[-1]
     beta_last = (jnp.abs(res.betas[-1]) if res.betas.shape[0]
                  else jnp.abs(res.alphas[0]) * 0)
@@ -194,12 +192,9 @@ def _slice_forward(op, a: float, b: float, opts: SliceOptions):
     v = _mm(v, y)
     av = _mm(av, y)
     lams = theta.astype(real_dtype)
-    # Pivot-phase gauge (deterministic across runs/backends).
-    pivots = jnp.take_along_axis(v, jnp.argmax(jnp.abs(v), axis=0)[None],
-                                 axis=0)[0]
-    phase = jnp.conj(jnp.sign(pivots))
-    v = v * phase[None, :]
-    av = av * phase[None, :]
+    # Pivot-phase gauge (shared helper; the tracked A v image gets the
+    # same phase so the residual reports stay consistent).
+    v, av = pivot_gauge(v, av)
 
     resids = jnp.linalg.norm(av - v * lams[None, :].astype(dtype),
                              axis=0).astype(real_dtype)
@@ -489,8 +484,12 @@ def logdet(op, *, degree: int = 160, n_probe: int = 16, key=None,
                                       extreme="max", with_info=True)
         pad_lo = i_lo.residual * jnp.maximum(jnp.abs(lmin), 1.0)
         pad_hi = i_hi.residual * jnp.maximum(jnp.abs(lmax), 1.0)
-        lo = lmin - pad_lo - 1e-3 * jnp.abs(lmin)
-        hi = lmax + pad_hi + 1e-3 * jnp.abs(lmax)
+        # 1e-2 = the 1% safety margin the docstring promises (was 1e-3:
+        # a true eigenvalue between 0.1% and 1% outside the enclosure
+        # would have made the degree-160 Chebyshev moments blow up while
+        # the doc said it was safe).
+        lo = lmin - pad_lo - 1e-2 * jnp.abs(lmin)
+        hi = lmax + pad_hi + 1e-2 * jnp.abs(lmax)
         floor = jnp.asarray(jnp.finfo(real_dtype).eps, real_dtype) * \
             jnp.abs(hi) * 10.0
         lo = jnp.maximum(lo, floor)

@@ -40,7 +40,13 @@ def spectral_function(op, b: jax.Array, omegas: jax.Array, eta: float, *,
     and ``omegas``.
     """
     op = as_operator(op)
-    eta = jnp.asarray(eta, dtype=jnp.finfo(op.dtype).dtype)
+    real_dtype = jnp.finfo(op.dtype).dtype
+    eta = jnp.asarray(eta, dtype=real_dtype)
+    # Pin the grid to the operator's real dtype too: a wider grid (e.g. a
+    # float64 numpy linspace against an f32 operator under x64) would
+    # promote the matvec output and break custom_linear_solve's dtype
+    # contract inside solve_spd.
+    omegas = jnp.asarray(omegas, dtype=real_dtype)
 
     def one(omega):
         def mv(x):
@@ -50,4 +56,4 @@ def spectral_function(op, b: jax.Array, omegas: jax.Array, eta: float, *,
         y = solve_spd(mv, b, tol=tol, maxiter=maxiter)
         return (eta / jnp.pi) * jnp.real(jnp.vdot(b, y))
 
-    return jax.vmap(one)(jnp.asarray(omegas))
+    return jax.vmap(one)(omegas)

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from .eigh import dominant_eigh_multi
-from .operators import LinearOperator, MatrixFreeOperator, as_operator
+from .operators import (LinearOperator, MatrixFreeOperator, as_operator,
+                        hmatmul as _mm)
 
 
 def _embed(op: LinearOperator, m: int, n: int) -> MatrixFreeOperator:
@@ -60,6 +61,12 @@ def dominant_svd(a, r: int = 4, k: int = 128, *, tol: float = 1e-8,
     ``method`` selects the embedding eigensolver forward ("lanczos" or
     "lobpcg" — see :func:`~.eigh.dominant_eigh_multi`); ``with_info=True``
     appends the block convergence report, ``(u, s, v, info)``.
+
+    .. note:: triplets beyond ``rank(A)`` (``s_i ~ 0``) are NOT singular
+       triplets: the corresponding embedding eigenvectors are arbitrary
+       mixtures of left/right null vectors, so ``u_i``/``v_i`` are unit
+       null-space vectors but ``A v_i = s_i u_i`` need not hold between
+       them.  Check ``s_i`` against round-off before using such columns.
     """
     if isinstance(a, LinearOperator):
         op = a
@@ -82,9 +89,22 @@ def dominant_svd(a, r: int = 4, k: int = 128, *, tol: float = 1e-8,
                               gap_eps=gap_eps, method=method,
                               with_info=with_info)
     lams, w = out[0], out[1]
-    sqrt2 = jnp.sqrt(jnp.asarray(2.0, w.dtype))
-    u = w[:m] * sqrt2
-    v = w[m:] * sqrt2
+    # For a genuine sigma_i > 0 the halves of w_i = (u_i; v_i)/sqrt(2)
+    # have EQUAL norm 1/sqrt(2), so per-half normalization is exactly the
+    # *sqrt(2) unpacking.  Past rank(A) the ~0 embedding eigenvalues have
+    # arbitrary null-space mixtures as eigenvectors — halves of unequal
+    # norm, for which a blanket *sqrt(2) returned non-unit columns; the
+    # explicit normalization keeps every returned column unit (see the
+    # rank note in the docstring), and the ~0 eigenvalue is clamped so a
+    # round-off-negative "singular value" can't leak out.
+    def _colunit(b):
+        nrm = jnp.linalg.norm(b, axis=0)
+        tiny = jnp.finfo(jnp.finfo(b.dtype).dtype).tiny
+        return b / jnp.maximum(nrm, tiny)[None, :]
+
+    u = _colunit(w[:m])
+    v = _colunit(w[m:])
+    lams = jnp.maximum(lams, 0.0)
     if with_info:
         return u, lams, v, out[2]
     return u, lams, v
@@ -99,10 +119,10 @@ class _RectOperator(LinearOperator):
         self.a = a
 
     def matvec(self, x):     # (n,) -> (m,)
-        return self.a @ x
+        return _mm(self.a, x)
 
     def rmatvec(self, x):    # (m,) -> (n,)
-        return self.a.T @ x
+        return _mm(self.a.T, x)
 
     @property
     def dim(self):           # unused by the embedding

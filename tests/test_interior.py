@@ -70,3 +70,31 @@ def test_operator_algebra_through_eigensolver():
     evs = np.linalg.eigvalsh(np.asarray(a))
     np.testing.assert_allclose(lam2, max(evs[0]**2, evs[-1]**2),
                                rtol=1e-9)
+
+
+def test_interior_complex_phase_gauge_gradient():
+    """Regression (round-4 review): the interior JVP was the one
+    eigenvector tangent rule missing the complex pivot-phase projection,
+    so phase-sensitive gradients of complex Hermitian operators were
+    silently wrong (~11%-scale, same class as the eigh bug fixed
+    earlier).  Check d/dt of Re/Im components of the interior
+    eigenvector against dense finite differences."""
+    n = 24
+    rng = np.random.default_rng(11)
+    h0 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    h0 = jnp.asarray((h0 + h0.conj().T) / 2)
+    h1 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    h1 = jnp.asarray((h1 + h1.conj().T) / 2)
+    w = np.linalg.eigvalsh(np.asarray(h0))
+    sigma = float((w[n // 2] + w[n // 2 + 1]) / 2 + 0.01)
+    probe = jnp.asarray(rng.standard_normal(n)
+                        + 1j * rng.standard_normal(n))
+
+    def f(t):
+        lam, v = interior_eigh(h0 + t * h1, sigma, k=n)
+        return jnp.real(jnp.vdot(probe, v))
+
+    t0, eps = jnp.float64(0.0), 1e-6
+    num = (f(t0 + eps) - f(t0 - eps)) / (2 * eps)
+    g = jax.grad(f)(t0)
+    np.testing.assert_allclose(float(g), float(num), rtol=1e-5)

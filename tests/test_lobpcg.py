@@ -12,7 +12,8 @@ import pytest
 from jax.test_util import check_grads
 
 from dominantsparseeigenad_tpu import (
-    DenseOperator, MatrixFreeOperator, dominant_eigh_multi, lobpcg_eigh)
+    DenseOperator, MatrixFreeOperator, dominant_eigh_multi, lobpcg_eigh,
+    lobpcg_eigh_general)
 
 
 def _sym(n, seed=0):
@@ -132,3 +133,33 @@ def test_multi_with_info_flags_underconvergence():
     # already symmetric.
     expected = sum(np.outer(evecs[:, i], evecs[:, i]) for i in range(r))
     np.testing.assert_allclose(g, expected, atol=1e-7)
+
+
+def test_lobpcg_conditioned_spectrum_converges_fast():
+    """Regression (round-4 review, numpy-replicated): the conjugate
+    direction P was formed by zeroing Ritz-coefficient rows in the
+    WHITENED basis, which leaves an X component inside P (whitening
+    mixes the [X, W, P] blocks) — the method then degrades to block
+    steepest descent: 10x the iterations at condition 1e2 and
+    non-convergence in 2000 iterations at 1e4.  The block-correct
+    update must converge in a few hundred."""
+    n, r = 300, 4
+    rng = np.random.default_rng(1)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    d = np.linspace(1, 1e4, n)
+    a = jnp.asarray(q @ np.diag(d) @ q.T)
+    lams, x, info = lobpcg_eigh(a, r=r, maxiter=2000, tol=1e-8,
+                                with_info=True)
+    assert float(info.converged) == 1.0
+    assert float(info.iterations) < 500, float(info.iterations)
+    np.testing.assert_allclose(np.asarray(lams), np.sort(d)[:r], rtol=1e-8)
+
+    db = np.linspace(1.0, 3.0, n)
+    b = jnp.asarray(q @ np.diag(db) @ q.T)
+    lg, xg, ig = lobpcg_eigh_general(a, b, r=r, maxiter=2000, tol=1e-8,
+                                     with_info=True)
+    assert float(ig.converged) == 1.0
+    assert float(ig.iterations) < 500, float(ig.iterations)
+    import scipy.linalg as sla
+    ref = sla.eigh(np.asarray(a), np.asarray(b), eigvals_only=True)[:r]
+    np.testing.assert_allclose(np.asarray(lg), ref, rtol=1e-7)

@@ -66,3 +66,19 @@ def test_tfim_dynamic_structure_factor():
         np.sum(w * eta / np.pi / ((float(o) - evals) ** 2 + eta ** 2))
         for o in np.asarray(omegas)])
     np.testing.assert_allclose(s, s_exact, rtol=1e-8)
+
+
+def test_spectral_function_accepts_wider_omega_grid():
+    """Regression (round-4 review): a float64 numpy frequency grid
+    against an f32 operator (the natural call under x64) promoted the
+    matvec inside the resolvent solve and broke custom_linear_solve's
+    dtype contract; the grid must be pinned to the operator dtype."""
+    n = 24
+    rng = np.random.default_rng(3)
+    h = rng.standard_normal((n, n)).astype(np.float32)
+    h = jnp.asarray((h + h.T) / 2)              # f32 operator
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    omegas = np.linspace(-3.0, 3.0, 7)          # float64 grid
+    out = spectral_function(h, b, omegas, eta=0.3, tol=1e-5)
+    assert out.shape == (7,)
+    assert np.isfinite(np.asarray(out)).all()

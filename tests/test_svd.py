@@ -104,3 +104,30 @@ def test_svd_with_info_and_lobpcg_method():
     _, _, _, starved = dominant_svd(a, r=3, k=4, tol=1e-10,
                                     method="lobpcg", with_info=True)
     assert float(starved.converged) == 0.0
+
+
+def test_dominant_svd_past_rank_returns_unit_columns():
+    """Regression (round-4 review): for r > rank(A) the embedding's ~0
+    eigenvectors are arbitrary null-space mixtures whose halves have
+    UNEQUAL norms — the old blanket *sqrt(2) unpacking returned
+    non-unit (even near-zero-norm) columns and occasionally negative
+    'singular values'.  Columns must now be unit and s clamped >= 0;
+    the genuine leading triplet stays exact."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(50)
+    y = rng.standard_normal(30)
+    a = jnp.asarray(np.outer(x, y))            # rank 1
+    u, s, v = dominant_svd(a, r=3, k=40)
+    s_np = np.asarray(s)
+    assert (s_np >= 0).all()
+    np.testing.assert_allclose(
+        s_np[0], np.linalg.norm(x) * np.linalg.norm(y), rtol=1e-10)
+    assert s_np[1] < 1e-8 and s_np[2] < 1e-8
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(u), axis=0),
+                               1.0, atol=1e-8)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=0),
+                               1.0, atol=1e-8)
+    # The genuine triplet still satisfies A v = s u.
+    np.testing.assert_allclose(
+        np.asarray(a) @ np.asarray(v[:, 0]),
+        s_np[0] * np.asarray(u[:, 0]), atol=1e-8)

@@ -212,3 +212,26 @@ def test_small_block_spmv_falls_back_on_chip():
             op.vals, op.cols, x))
     y_ref = np.asarray(jax.jit(lambda o, xx: o.matvec(xx))(op, x))
     assert np.abs(y - y_ref).max() <= 1e-6 * np.abs(y_ref).max() + 1e-7
+
+
+def test_lobpcg_block_solver_on_chip():
+    """Block solvers ride matMAT, and the chip's DEFAULT (n,n)@(n,r)
+    matmul drops to one bf16 pass even where the same operator's matVEC
+    runs full f32 (chip-measured: 2.5e-3 vs 1.4e-7 relative error) —
+    the class of bug that let LOBPCG stall at two digits while every
+    vector solver stayed accurate.  DenseOperator now pins HIGHEST;
+    assert block convergence AND accuracy on the real MXU."""
+    from dominantsparseeigenad_tpu import lobpcg_eigh
+
+    n, r = 256, 4
+    rng = np.random.default_rng(1)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    d = np.linspace(1, 1e3, n)
+    a = jnp.asarray(q @ np.diag(d) @ q.T, jnp.float32)
+    lams, x, info = jax.jit(lambda m: lobpcg_eigh(
+        m, r=r, maxiter=1000, tol=3e-4, with_info=True))(a)
+    out = np.asarray(jnp.concatenate(
+        [lams, info.iterations[None], info.converged[None]]))
+    assert out[r + 1] == 1.0, "LOBPCG failed to converge on chip"
+    assert out[r] < 500, out[r]
+    np.testing.assert_allclose(out[:r], np.sort(d)[:r], rtol=1e-3)
