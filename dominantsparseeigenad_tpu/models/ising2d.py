@@ -26,7 +26,6 @@ Ising coupling is J = 1, inverse temperature ``beta``.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +33,7 @@ import numpy as np
 
 from ..ops.decomp import eigh_safe, eigh_safe_truncated, svd_safe
 from ..ops.eig import dominant_eig
+from ..ops.observables import value_d1_d2 as _value_d1_d2
 from ..ops.operators import DenseOperator
 
 _EPS = 1e-12
@@ -112,11 +112,10 @@ def _split(m, chi, eps=_EPS, method: str = "gram"):
     """
     if method == "gram":
         w_top, u_top = eigh_safe_truncated(m @ m.T, chi, eps)  # desc s^2
-        w = w_top[::-1]  # for the w_max estimate below
         # Exact zero modes (rank-deficient early steps) must be masked
         # with the both-branches-safe where() pattern: sqrt at 0 has an
         # infinite derivative, and a plain clamp still back-propagates it.
-        w_max = jnp.maximum(w[-1], jnp.finfo(m.dtype).tiny)
+        w_max = jnp.maximum(w_top[0], jnp.finfo(m.dtype).tiny)
         # Relative cutoff: 1e-24 suits f64; in f32 it underflows against
         # w_max, keeping near-zero modes whose second sqrt-derivative
         # (~w^-1.5) overflows — floor it at machine-eps².
@@ -444,19 +443,8 @@ def correlation_length(beta, *, chi: int = 16, n_steps: int = 30,
 # Observables (differentiate lnZ through the contraction)
 # ---------------------------------------------------------------------------
 
-def _value_d1_d2(f, x):
-    """(f(x), f'(x), f''(x)) for scalar ``f`` by nested forward-mode.
-
-    One jvp inside another: the outer jvp of ``z -> (f(z), f'(z))``
-    yields tangents ``(f'(x), f''(x))`` — value, first and second
-    derivative in a single traced pass, with no scan transposition (see
-    :func:`ising_observables` for why that matters here).
-    """
-    one = jnp.ones_like(x)
-    def g(z):
-        return jax.jvp(f, (z,), (one,))
-    (val, d1), (_, d2) = jax.jvp(g, (x,), (one,))
-    return val, d1, d2
+# (value, f', f'') in one pass: shared nested-forward helper
+# (ops.observables.value_d1_d2, imported at the top).
 
 
 def ising_observables(beta, *, method: str = "trg", chi: int = 24,

@@ -29,7 +29,6 @@ the reference does with double backward:
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +51,14 @@ def tfim_zz_diagonal(n: int, dtype=jnp.float64) -> jax.Array:
     intermediate ever materializes — XLA fuses the whole thing into one
     elementwise kernel.
     """
+    if n < 3:
+        # Same guard as heisenberg_operator: the PBC ring visits its
+        # single (n=2) bond from both endpoints — the zz diagonal would
+        # silently be 2x the standard Hamiltonian (and n=1 self-bonds) —
+        # and the shared dense oracle would inherit the same factor, so
+        # internal cross-checks could not catch it.
+        raise ValueError(f"need n >= 3 (PBC double-counts bonds at n=2, "
+                         f"self-bonds at n=1); got n={n}")
     dim = 1 << n
     idx = jnp.arange(dim, dtype=jnp.uint32)
     n_anti = jnp.zeros(dim, dtype=dtype)
@@ -150,6 +157,12 @@ def tfim_dense_hamiltonian(n: int, g, dtype=jnp.float64) -> jax.Array:
 def tfim2d_zz_diagonal(lx: int, ly: int, dtype=jnp.float64) -> jax.Array:
     """Diagonal of -sum_<ij> sz_i sz_j on an lx x ly periodic square
     lattice (site (x, y) -> bit x + lx*y), over the 2^(lx*ly) basis."""
+    if lx < 3 or ly < 3:
+        # Torus dimensions below 3 double-count the wrapped bonds (and
+        # self-bond at length 1) — same guard as the 1D chain.
+        raise ValueError("need lx, ly >= 3 (a torus dimension of 2 "
+                         f"double-counts its wrapped bonds); got "
+                         f"({lx}, {ly})")
     n = lx * ly
     dim = 1 << n
     idx = jnp.arange(dim, dtype=jnp.uint32)
@@ -311,27 +324,19 @@ def tfim_energy_gap(n: int, g, *, k: int = 100, tol: float = 1e-10,
 
 def fidelity_susceptibility(n: int, g, *, k: int = 100, tol: float = 1e-10,
                             dtype=jnp.float64):
-    """chi_F(g) = <∂ψ|∂ψ> - <∂ψ|ψ><ψ|∂ψ> via forward-mode AD.
+    """chi_F(g) of the TFIM ground state (reference: the double-backward
+    construction of the ``examples/TFIM`` sparse driver).
 
-    The reference computes this with double backward through its
-    Lanczos-forward / CG-backward stack (``examples/TFIM`` sparse driver);
-    here one ``jax.jvp`` through the eigensolver's IFT rule yields ∂ψ/∂g
-    directly.  The TFIM Hamiltonian is REAL symmetric, so the IFT
-    tangent's normalization constraint <ψ|∂ψ> = 0 holds exactly (the
-    complex pivot-phase projection is a no-op) and subtracting the gauge
-    term |<ψ|∂ψ>|² costs one extra vdot while making the expression
-    gauge-invariant by construction — see
-    ``ops.observables.fidelity_susceptibility`` for the complex case
-    where the term is essential.
-    """
+    Thin wrapper over the generic gauge-invariant
+    :func:`~..ops.observables.fidelity_susceptibility` — ONE
+    implementation of the chi_F construction (the round-3 complex-gauge
+    fix lives there; a second hand-rolled copy here had to be patched in
+    lockstep, which is exactly how such fixes get missed)."""
+    from ..ops.observables import fidelity_susceptibility as _chi
+
     g = jnp.asarray(g, dtype=dtype)
-
-    def psi(g):
-        _, v = tfim_ground_state(n, g, k=k, tol=tol, dtype=dtype)
-        return v
-
-    psi_val, dpsi = jax.jvp(psi, (g,), (jnp.ones_like(g),))
-    return jnp.vdot(dpsi, dpsi) - jnp.abs(jnp.vdot(psi_val, dpsi)) ** 2
+    return _chi(lambda gg: tfim_operator(n, gg, dtype=dtype), g,
+                k=min(k, 1 << n), tol=tol)
 
 
 def tfim_ed_observables(n: int, g, dtype=jnp.float64):

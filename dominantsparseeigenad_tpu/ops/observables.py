@@ -46,11 +46,31 @@ def fidelity_susceptibility(make_operator, g, *, k: int = 100,
             - jnp.abs(jnp.vdot(psi_val, dpsi)) ** 2)
 
 
+def value_d1_d2(f, x):
+    """(f(x), f'(x), f''(x)) for scalar ``f`` by nested forward mode.
+
+    One jvp inside another: the outer jvp of ``z -> (f(z), f'(z))``
+    yields tangents ``(f'(x), f''(x))`` — value, first and second
+    derivative in ONE traced pass.  Against the obvious
+    ``value_and_grad`` + ``grad(grad(...))`` pair this halves the
+    solver work (the eigenproblem forward is not re-solved for the
+    second derivative) and avoids reverse-mode transposition of scanned
+    flows (see ``models.ising2d.ising_observables``)."""
+    one = jnp.ones_like(x)
+
+    def g(z):
+        return jax.jvp(f, (z,), (one,))
+
+    (val, d1), (_, d2) = jax.jvp(g, (x,), (one,))
+    return val, d1, d2
+
+
 def energy_curvature(make_operator, g, *, k: int = 100, tol: float = 1e-10,
                      maxiter: int | None = None, extreme: str = "min"):
     """(E(g), dE/dg, d²E/dg²) of the extremal eigenvalue of
     ``make_operator(g)`` — the reference's ED observables for any
-    operator family, via nested AD through the IFT rules."""
+    operator family, via nested forward-mode AD through the IFT rules
+    (one traced pass; see :func:`value_d1_d2`)."""
     g = jnp.asarray(g)
 
     def e(gg):
@@ -58,6 +78,4 @@ def energy_curvature(make_operator, g, *, k: int = 100, tol: float = 1e-10,
                                tol=tol, maxiter=maxiter)
         return lam
 
-    val, d1 = jax.value_and_grad(e)(g)
-    d2 = jax.grad(jax.grad(e))(g)
-    return val, d1, d2
+    return value_d1_d2(e, g)

@@ -42,11 +42,12 @@ def spectral_function(op, b: jax.Array, omegas: jax.Array, eta: float, *,
     op = as_operator(op)
     real_dtype = jnp.finfo(op.dtype).dtype
     eta = jnp.asarray(eta, dtype=real_dtype)
-    # Pin the grid to the operator's real dtype too: a wider grid (e.g. a
-    # float64 numpy linspace against an f32 operator under x64) would
+    # Pin the grid AND the probe to the operator's dtype: a wider grid or
+    # probe (e.g. float64 numpy against an f32 operator under x64) would
     # promote the matvec output and break custom_linear_solve's dtype
     # contract inside solve_spd.
     omegas = jnp.asarray(omegas, dtype=real_dtype)
+    b = jnp.asarray(b, dtype=op.dtype)
 
     def one(omega):
         def mv(x):

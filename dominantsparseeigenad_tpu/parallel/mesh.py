@@ -29,15 +29,38 @@ BATCH_AXIS = "batch"
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:
-    """Initialize the multi-host JAX runtime (no-op on a single host).
+    """Initialize the multi-host JAX runtime.
 
     Multi-host equivalent of what the reference never had: each host calls
     this once, then every host sees the global device set and participates
     in DCN/ICI collectives emitted by ``shard_map``/GSPMD.
+
+    With EXPLICIT arguments they are passed straight through.  With no
+    arguments, defers to ``jax.distributed.initialize()``'s environment
+    auto-detection — the standard pattern on TPU pods, where the runtime
+    publishes coordinator/process info; a host where nothing can be
+    auto-detected is treated as single-process (warned, not raised).
+    The old behavior silently skipped initialization unless
+    ``num_processes > 1`` was passed, which defeated auto-detection and
+    left multi-host runs on partial local meshes (round-4 review).
+    Pass ``num_processes=1`` to skip explicitly.
     """
-    if num_processes is not None and num_processes > 1:
+    if num_processes == 1:
+        return
+    if coordinator_address is not None or num_processes is not None \
+            or process_id is not None:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
+        return
+    try:
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError) as exc:
+        import warnings
+        warnings.warn(
+            "init_distributed(): no multi-host environment auto-detected "
+            f"({exc}); continuing single-process. Pass explicit "
+            "coordinator_address/num_processes/process_id for manual "
+            "setup, or num_processes=1 to silence this warning.")
 
 
 def make_mesh(n_shards: int | None = None, n_batch: int = 1,

@@ -64,14 +64,22 @@ from ..ops.pallas_spmv import bell_spmm, bell_spmv, _bell_spmv_xla
 from .mesh import SHARD_AXIS
 
 
-def _bucket_by_offset(cols: np.ndarray, vals_nonzero: np.ndarray, p: int):
+def _bucket_by_offset(cols: np.ndarray, keep: np.ndarray, p: int):
     """Re-bucket ELL slots by source-shard ring offset.
 
     Returns ``{offset: (slot_idx, local_col, mask)}`` with per-offset
     arrays of shape (nb, m_o): ``slot_idx`` indexes into the original
     ``max_blk`` slots, ``local_col`` is the block-column *within* the
-    source shard, ``mask`` is 0.0 on padding.  Pad slots of the original
-    layout (zero blocks) are dropped entirely.  Static host-side
+    source shard, ``mask`` is 0.0 on bucket padding.  EVERY stored slot
+    participates (``keep`` is all-True from the caller): the format
+    cannot distinguish its pad convention (block-column 0, zero block)
+    from a genuine stored block that happens to be zero at construction
+    — e.g. a coupling initialized at 0 for optimization, or a zeroed
+    wrap band at column 0 — and value-based dropping silently lost such
+    slots from ``with_vals``/JVP tangents (round-4 review; the modes
+    then disagreed).  Cost of keeping pads: extra ring hops only for
+    matrices that are actually row-padded — the bandwidth-optimal
+    default ``all_gather`` mode is unaffected.  Static host-side
     preprocessing — requires concrete ``cols``.
     """
     nb, max_blk = cols.shape
@@ -82,7 +90,7 @@ def _bucket_by_offset(cols: np.ndarray, vals_nonzero: np.ndarray, p: int):
 
     buckets = {}
     for o in range(p):
-        sel = (offset == o) & vals_nonzero          # (nb, max_blk)
+        sel = (offset == o) & keep                  # (nb, max_blk)
         counts = sel.sum(axis=1)
         m_o = int(counts.max()) if nb else 0
         if m_o == 0:
@@ -151,9 +159,10 @@ class RowShardedBellOperator(LinearOperator):
             # operator OUTSIDE jit when mode="ring" (the resulting pytree
             # then traces fine; only __init__ is host-side).
             cols_np = np.asarray(jax.device_get(cols))
-            vals_np = np.asarray(jax.device_get(vals))
-            nonzero = np.abs(vals_np).max(axis=(2, 3)) > 0
-            buckets = _bucket_by_offset(cols_np, nonzero, p)
+            # Every slot participates — value-based pad dropping loses
+            # genuine zero-valued blocks (see _bucket_by_offset).
+            keep = np.ones(cols_np.shape, bool)
+            buckets = _bucket_by_offset(cols_np, keep, p)
             self._offsets = tuple(sorted(buckets))
             rs = NamedSharding(mesh, P(axis, None))
             self._slot_idx = tuple(

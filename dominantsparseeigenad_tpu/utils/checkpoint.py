@@ -49,20 +49,33 @@ def load_pytree(path: str, like):
 
 
 def save_orbax(path: str, tree) -> None:
-    """Multi-host sharded checkpoint via orbax (falls back to npz)."""
+    """Multi-host sharded checkpoint via orbax (npz when not installed).
+
+    The fallback triggers ONLY on ImportError: a genuine orbax save
+    failure (bad path, unserializable leaf, multi-host sync error) must
+    surface, not silently switch formats — for multi-host sharded arrays
+    the npz fallback is wrong by construction (it would save only the
+    local shard), and masking the error could strand a long run with an
+    unusable checkpoint (round-4 review).
+    """
     try:
         import orbax.checkpoint as ocp
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path), tree, force=True)
-        ckptr.wait_until_finished()
-    except Exception:
+    except ImportError:
         save_pytree(path, tree)
+        return
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
 
 
 def load_orbax(path: str, like):
+    """Restore a :func:`save_orbax` checkpoint (npz when orbax is not
+    installed).  Like the save side, only ImportError falls back — a
+    real restore failure must not silently load a stale npz from an
+    earlier run and resume from the wrong state."""
     try:
         import orbax.checkpoint as ocp
-        ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(os.path.abspath(path), like)
-    except Exception:
+    except ImportError:
         return load_pytree(path, like)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), like)

@@ -30,9 +30,14 @@ def ritz_residual(op, lam, v) -> jax.Array:
 
 
 def orthogonality_loss(res: LanczosResult) -> jax.Array:
-    """max |Q^T Q - I| over the Lanczos basis (0 = perfectly orthogonal)."""
+    """max |Q^H Q - I| over the Lanczos basis (0 = perfectly orthogonal).
+
+    Conjugate transpose, not plain transpose: for the complex Hermitian
+    bases the engine explicitly supports, Q^T Q of a perfectly
+    orthonormal basis is far from identity and the health report would
+    flag a healthy run as deorthogonalized (round-4 review)."""
     q = res.basis
-    gram = q.T @ q
+    gram = q.conj().T @ q
     return jnp.max(jnp.abs(gram - jnp.eye(gram.shape[0], dtype=gram.dtype)))
 
 

@@ -209,3 +209,46 @@ def test_sharded_operator_through_slicing_and_observables(mesh):
                                 * 1e-2), jnp.float64(0.1), k=80)
     chi_loc = fidelity_susceptibility(make_local, jnp.float64(0.1), k=80)
     np.testing.assert_allclose(float(chi_shr), float(chi_loc), rtol=1e-8)
+
+
+def test_ring_mode_keeps_structural_zero_blocks(mesh):
+    """Regression (round-4 review): ring-mode bucketing dropped slots by
+    VALUE (|vals| > 0), so a stored block whose entries are zero at
+    construction (a coupling initialized at 0) silently vanished from
+    with_vals() and from JVP tangents — wrong SpMV and an exactly-zero
+    gradient, disagreeing with all_gather mode.  Dropping must be
+    structural (pad convention: col 0 + zero block) only."""
+    n, bs = 256, 16
+    nb = n // bs
+    rng = np.random.default_rng(31)
+    # Symmetric block-tridiagonal ring with the FIRST off-diagonal band
+    # zeroed at construction (structurally present, value zero).
+    vals = np.zeros((nb, 3, bs, bs))
+    cols = np.zeros((nb, 3), np.int32)
+    diag = rng.standard_normal((nb, bs, bs))
+    vals[:, 0] = diag + np.swapaxes(diag, 1, 2)
+    cols[:, 0] = np.arange(nb)
+    cols[:, 1] = (np.arange(nb) + 1) % nb     # zero blocks, real slots
+    cols[:, 2] = (np.arange(nb) - 1) % nb
+    vals[:, 2] = rng.standard_normal((nb, bs, bs))
+    # symmetrize the -1 band against the +1 band of the previous row:
+    vals[:, 1] = np.swapaxes(np.roll(vals[:, 2], -1, axis=0), 1, 2)
+    off = vals[:, 1].copy()
+    vals[:, 1] = 0.0                          # zero out at construction
+
+    x = jnp.asarray(rng.standard_normal(n))
+    sop = RowShardedBellOperator(jnp.asarray(vals), jnp.asarray(cols), n,
+                                 mesh, mode="ring", symmetric=False,
+                                 use_pallas=False)
+    # Revive the zeroed band through with_vals: its contribution must
+    # NOT have been dropped by the construction-time bucketing.
+    vals2 = vals.copy()
+    vals2[:, 1] = off
+    y_ring = np.asarray(jax.jit(lambda o, v, xx: o.with_vals(v).matvec(xx))(
+        sop, jnp.asarray(vals2), shard_vector(x, mesh)))
+    gop = RowShardedBellOperator(jnp.asarray(vals2), jnp.asarray(cols), n,
+                                 mesh, mode="all_gather", symmetric=False,
+                                 use_pallas=False)
+    y_ref = np.asarray(jax.jit(lambda o, xx: o.matvec(xx))(
+        gop, shard_vector(x, mesh)))
+    np.testing.assert_allclose(y_ring, y_ref, rtol=1e-12, atol=1e-12)

@@ -120,3 +120,20 @@ def test_tfim2d_matches_ed():
     v0 = jnp.asarray(evecs[:, 0])
     hf = -float(jnp.vdot(v0, flip_sum(v0, n)))
     np.testing.assert_allclose(grad, hf, rtol=1e-10)
+
+
+def test_small_lattice_pbc_guards():
+    """Regression (round-4 review): PBC double-counts bonds below 3
+    sites per ring dimension (n=2 visits its single bond from both ends;
+    n=1 self-bonds) and the shared dense oracle inherited the same
+    factor, so only an explicit guard can catch it — mirroring the
+    heisenberg_operator guard."""
+    from dominantsparseeigenad_tpu.models import (tfim_operator,
+                                                  tfim2d_operator)
+    for bad_n in (1, 2):
+        with pytest.raises(ValueError, match="PBC double-counts"):
+            tfim_operator(bad_n, 1.0)
+    with pytest.raises(ValueError, match="double-counts"):
+        tfim2d_operator(2, 3, 1.0)
+    with pytest.raises(ValueError, match="double-counts"):
+        tfim2d_operator(3, 1, 1.0)

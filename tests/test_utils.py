@@ -76,3 +76,17 @@ def test_diagnostics():
     spd = a @ a.T + 80 * jnp.eye(80)
     x = cg(lambda v: spd @ v, b, tol=1e-12)
     assert float(cg_relative_residual(lambda v: spd @ v, b, x)) < 1e-10
+
+
+def test_orthogonality_loss_complex_basis():
+    """Regression (round-4 review): the Gram used a plain transpose, so a
+    perfectly orthonormal COMPLEX Lanczos basis reported O(1) loss."""
+    from dominantsparseeigenad_tpu.ops.lanczos import lanczos
+    from dominantsparseeigenad_tpu.utils.diagnostics import (
+        orthogonality_loss)
+
+    rng = np.random.default_rng(7)
+    h = rng.standard_normal((40, 40)) + 1j * rng.standard_normal((40, 40))
+    h = jnp.asarray((h + h.conj().T) / 2)
+    res = lanczos(h, 20)
+    assert float(orthogonality_loss(res)) < 1e-12
