@@ -208,6 +208,16 @@ def _svd_safe_truncated_jvp(r, eps, oversample, power_iters,
     sinv = jnp.where(ok, 1.0 / jnp.where(ok, s, 1.0), 0.0)
     du = du + (da_v - uk @ (uk.T.conj() @ da_v)) * sinv[None, :]
     dv = dv + (dat_u - vk @ (vk.T.conj() @ dat_u)) * sinv[None, :]
+    if jnp.iscomplexobj(a):
+        # Complex diagonal coupling: Im<u_i, dA v_i> fixes the RELATIVE
+        # phase tangent of (u_i, v_i) — α_i - β_i = Im(P_ii)/σ_i with
+        # u_i^H du_i = iα_i, v_i^H dv_i = iβ_i; only the common phase is
+        # gauge.  Dropping it (the old rule) gave O(||dA||)-wrong
+        # tangents for any functional mixing u and v (round-4 review,
+        # FD-verified 0.13 absolute error).  Convention follows the
+        # upstream jax svd rule: the whole term rides on dU (β_i = 0).
+        du = du + u * (1j * jnp.imag(jnp.diagonal(p1[:r]))
+                       * sinv)[None, :]
     return (u, s, v.conj().T), (du, ds, dv.conj().T)
 
 
@@ -236,14 +246,24 @@ def _svd_safe_jvp(eps, primals, tangents):
     (da,) = tangents
     eps = _eps_floor(eps, a.dtype)
     u, s, vt = svd_safe(a, eps)
-    v = vt.T
-    dp = u.T @ da @ v                       # U^T dA V
-    ds = jnp.diagonal(dp)
+    # Conjugate-aware throughout (real dtypes: all conj are no-ops).
+    # The old real-only form (v = vt.T, dp.T, complex ds) returned a
+    # complex tangent for the real s — a hard TypeError under jvp — and
+    # the wrong adjoint for complex factors (round-4 review).
+    v = vt.conj().T
+    dp = u.conj().T @ da @ v                # U^H dA V
+    ds = jnp.real(jnp.diagonal(dp))
     s2 = s * s
     gap = s2[None, :] - s2[:, None]         # gap[i, j] = s_j^2 - s_i^2
     f = gap / (gap * gap + eps * eps)
     f = f * (1.0 - jnp.eye(s.shape[0], dtype=s.dtype))
-    # dU = U (F ∘ (dP Σ + Σ dP^T)),  dV = V (F ∘ (Σ dP + dP^T Σ)).
-    du = u @ (f * (dp * s[None, :] + s[:, None] * dp.T))
-    dv = v @ (f * (s[:, None] * dp + dp.T * s[None, :]))
-    return (u, s, vt), (du, ds, dv.T)
+    # dU = U (F ∘ (dP Σ + Σ dP^H)),  dV = V (F ∘ (Σ dP + dP^H Σ)).
+    du = u @ (f * (dp * s[None, :] + s[:, None] * dp.conj().T))
+    dv = v @ (f * (s[:, None] * dp + dp.conj().T * s[None, :]))
+    if jnp.iscomplexobj(a):
+        # Relative-phase diagonal coupling (see the truncated rule):
+        # Im(P_ii)/σ_i rides on dU, jax-convention.
+        tiny = jnp.finfo(s.dtype).tiny
+        du = du + u * (1j * jnp.imag(jnp.diagonal(dp))
+                       / jnp.maximum(s, tiny))[None, :]
+    return (u, s, vt), (du, ds, dv.conj().T)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .lanczos import _breakdown_rel_tol, _mm, _project_out
-from .operators import as_operator, hdot
+from .operators import as_operator, hdot, pivot_gauge
 
 
 class RestartState(NamedTuple):
@@ -105,9 +105,13 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
     w = op.matvec(state.q)
     alpha = jnp.real(hdot(state.q, w)).astype(real_dtype)
     alpha = jnp.where(dead0, jnp.zeros_like(alpha), alpha)
-    w = w - alpha * state.q - state.s.astype(dtype) @ state.y
+    # HIGHEST-precision GEMMs (shared policy, operators.hmatmul):
+    # reorthogonalizing at the TPU's default bf16 pass leaves ~4e-3
+    # components along the basis and destroys the semi-orthogonality the
+    # recurrence needs; restart_init pins _mm, the cycles must too.
+    w = w - alpha * state.q - _mm(state.s.astype(dtype), state.y)
     for _ in range(reorth_passes):
-        w = w - basis.T @ (basis.conj() @ w)
+        w = w - _mm(basis.T, _mm(basis.conj(), w))
     beta = jnp.linalg.norm(w).astype(real_dtype)
     scale0 = jnp.abs(alpha) + jnp.linalg.norm(state.s) + 1.0
     q_next, beta, row_dead0, dead = continuation(basis, w, beta, scale0,
@@ -125,7 +129,7 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
         a = jnp.where(dead_in, jnp.zeros_like(a), a)
         w = w - a * q - beta_prev * q_prev
         for _ in range(reorth_passes):
-            w = w - basis.T @ (basis.conj() @ w)
+            w = w - _mm(basis.T, _mm(basis.conj(), w))
         b = jnp.linalg.norm(w).astype(real_dtype)
         scale = jnp.sqrt(a * a + beta_prev * beta_prev) + 1.0
         qn, b_out, row_dead, dead_out = continuation(basis, w, b, scale,
@@ -135,10 +139,8 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
             j + 1 < k,
             lambda t: t.at[j + 1, j].set(b_out).at[j, j + 1].set(b_out),
             lambda t: t, t)
-        basis = lax.cond(
-            j + 1 <= k,
-            lambda bs: bs.at[j + 1].set(qn),
-            lambda bs: bs, basis)
+        # j runs over [l+1, k-1], so j + 1 <= k always: write directly.
+        basis = basis.at[j + 1].set(qn)
         return (basis, t, qn, q, b_out, dead_out), (b_out, row_dead)
 
     (basis, t, _, _, beta_last, _), (_, row_deads) = lax.scan(
@@ -161,7 +163,7 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
              else k - 1 - jnp.arange(l + 1))
     theta = evals[order]
     sel = evecs[:, order]                                     # (k, l+1)
-    y = (basis[:k].T @ sel.astype(dtype)).T                   # (l+1, N)
+    y = _mm(basis[:k].T, sel.astype(dtype)).T                 # (l+1, N)
     s = (beta_last * sel[k - 1, :]).astype(real_dtype)
     return RestartState(theta=theta, y=y, s=s, q=basis[k])
 
@@ -188,9 +190,15 @@ def restart_init(op, k: int = 64, *, num_kept: int | None = None,
         raise ValueError(f"extreme must be min|max, got {extreme!r}")
     n, dtype = op.dim, op.dtype
     k = int(min(k, n))
-    l = int(k // 4 if num_kept is None else num_kept)
+    # At least one Ritz vector must be retained: l = 0 (tiny clamped k
+    # with the k//4 default, or an explicit num_kept=0) produces empty
+    # theta/y/s arrays that crash restart_extract (round-4 review).
+    l = int(max(1, k // 4) if num_kept is None else num_kept)
+    if l < 1:
+        raise ValueError(f"need num_kept >= 1, got {num_kept}")
     if l + 2 > k:
-        raise ValueError(f"need k >= num_kept + 2, got k={k}, l={l}")
+        raise ValueError(f"need k >= num_kept + 2, got k={k}, l={l}"
+                         + (f" (k clamped to op.dim={n})" if k < 4 else ""))
 
     res = lanczos(op, k, v0=v0, key=key, reorth_passes=reorth_passes)
     t = jnp.diag(res.alphas)
@@ -271,9 +279,7 @@ def restart_extract(state: RestartState):
     Ritz pair, normalized and phase-gauged like every forward here."""
     lam = state.theta[0]
     v = state.y[0]
-    v = v / jnp.linalg.norm(v)
-    pivot = v[jnp.argmax(jnp.abs(v))]
-    v = v * jnp.conj(jnp.sign(pivot))
+    v = pivot_gauge(v / jnp.linalg.norm(v))
     return lam, v, jnp.abs(state.s[0])
 
 

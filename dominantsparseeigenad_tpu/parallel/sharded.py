@@ -38,7 +38,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.operators import LinearOperator
+from ..ops.operators import LinearOperator, hmatmul as _mm
 from .mesh import SHARD_AXIS, row_sharding
 
 
@@ -80,9 +80,14 @@ class RowShardedOperator(LinearOperator):
 
     # -- shard_map bodies ---------------------------------------------------
 
+    # Panel applications at HIGHEST precision, matching DenseOperator:
+    # the distributed tier must not silently carry bf16 (~2.5e-3) matmul
+    # rounding where its single-device counterpart runs full f32 — the
+    # parity tests are CPU-only and could never catch the chip-side gap
+    # (round-4 review).
     def _mv_all_gather(self, a_blk, x_blk):
         x_full = lax.all_gather(x_blk, self.axis, tiled=True)
-        return a_blk @ x_full
+        return _mm(a_blk, x_full)
 
     def _mv_ring(self, a_blk, x_blk):
         # a_blk: (nl, N) local rows; x_blk: (nl,) local segment.
@@ -99,7 +104,7 @@ class RowShardedOperator(LinearOperator):
             src = ((me - t) % p).astype(jnp.int32)
             blk = lax.dynamic_slice(
                 a_blk, (jnp.int32(0), src * jnp.int32(nl)), (nl, nl))
-            acc = acc + blk @ seg
+            acc = acc + _mm(blk, seg)
             # Pass the segment to the next device; XLA's async collectives
             # overlap this ppermute with the next iteration's matmul.
             seg = lax.ppermute(seg, axis, perm)
@@ -112,7 +117,7 @@ class RowShardedOperator(LinearOperator):
     def _rmv(self, a_blk, x_blk):
         # y = A^T x = sum_s A_blk_s^T x_s: local (N,) partial, then
         # reduce_scatter back to P(axis).
-        partial_full = a_blk.T @ x_blk
+        partial_full = _mm(a_blk.T, x_blk)
         return lax.psum_scatter(partial_full, self.axis, tiled=True)
 
     # -- LinearOperator interface -------------------------------------------

@@ -313,3 +313,40 @@ def test_trg_unrolled_grad_grad_matches_nested_forward():
         lambda b: trg_free_energy(b, chi=8, n_steps=6))))(beta)
     assert np.isfinite(float(d2_unrolled))
     np.testing.assert_allclose(d2_unrolled, d2_fwd, rtol=1e-6)
+
+
+def test_svd_safe_complex_tangents():
+    """Regression (round-4 review): svd_safe's JVP was real-only — it
+    crashed on complex input (complex tangent for the real s) and both
+    safe-SVD rules dropped the Im<u|dA|v> diagonal coupling that fixes
+    the relative phase tangent of (u_i, v_i), giving O(||dA||)-wrong
+    gradients for any functional mixing u and v.  Check the
+    gauge-invariant rank-r reconstruction tangent against finite
+    differences for both rules."""
+    from dominantsparseeigenad_tpu.ops.decomp import (svd_safe,
+                                                      svd_safe_truncated)
+
+    rng = np.random.default_rng(9)
+    n = 8
+    a0 = jnp.asarray(rng.standard_normal((n, n))
+                     + 1j * rng.standard_normal((n, n)))
+    da = jnp.asarray(rng.standard_normal((n, n))
+                     + 1j * rng.standard_normal((n, n)))
+    probe = jnp.asarray(rng.standard_normal((n, n))
+                        + 1j * rng.standard_normal((n, n)))
+
+    def recon_full(t):
+        u, s, vt = svd_safe(a0 + t * da)
+        return jnp.real(jnp.sum(probe * (u @ jnp.diag(
+            s.astype(u.dtype)) @ vt)))
+
+    def recon_trunc(t):
+        u, s, vt = svd_safe_truncated(a0 + t * da, 4, 1e-12, n, 2)
+        return jnp.real(jnp.sum(probe * (u @ jnp.diag(
+            s.astype(u.dtype)) @ vt)))
+
+    eps = 1e-7
+    for f in (recon_full, recon_trunc):
+        num = (f(eps) - f(-eps)) / (2 * eps)
+        _, g = jax.jvp(f, (0.0,), (1.0,))
+        np.testing.assert_allclose(float(g), float(num), rtol=1e-6)

@@ -90,3 +90,17 @@ def test_restart_cycle_clamps_oversized_k():
     lam, _, _ = restart_extract(state_big)
     evals = np.linalg.eigvalsh(np.asarray(a))
     np.testing.assert_allclose(float(lam), evals[0], rtol=1e-10)
+
+
+def test_restart_tiny_operator_retains_a_ritz_vector():
+    """Regression (round-4 review): a dim-3 operator clamps k to 3 and
+    the k//4 default made num_kept l = 0 — empty Ritz arrays that
+    crashed restart_extract with an IndexError.  The default now floors
+    at 1; an explicit num_kept=0 is rejected."""
+    a = jnp.diag(jnp.asarray([1.0, 2.0, 5.0]))
+    lam, v, _ = lanczos_restarted(a, k=64, n_restarts=3)
+    np.testing.assert_allclose(float(lam), 1.0, rtol=1e-10)
+    from dominantsparseeigenad_tpu.ops.restart import restart_init
+    import pytest
+    with pytest.raises(ValueError, match="num_kept >= 1"):
+        restart_init(a, k=3, num_kept=0)
