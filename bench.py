@@ -413,13 +413,16 @@ def main():
               f"(chi_ref {chi_t:.4f})", file=sys.stderr)
     except Exception as exc:  # torch missing/broken: still report ours
         print(f"# torch baseline failed: {exc}", file=sys.stderr)
-        vs = float("nan")
+        # None, not NaN: json.dumps(nan) emits a bare NaN literal that
+        # strict RFC-8259 parsers (jq, JS) reject, losing the whole
+        # record exactly in the degraded case it is built to survive.
+        vs = None
 
     record = {
         "metric": "tfim_n20_eigenpair_grad_chi_time",
         "value": round(t_ours, 4),
         "unit": "s",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": None if vs is None else round(vs, 2),
         # Auditable denominator (round-2 judge ask: the ratio swung 10x
         # from unpinned-torch noise; now median-of-5 at 4 pinned threads).
         "torch_s": round(t_ref, 4) if t_ref is not None else None,

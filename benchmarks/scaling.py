@@ -45,15 +45,21 @@ from dominantsparseeigenad_tpu.parallel.mesh import BATCH_AXIS, SHARD_AXIS
 
 def _tfim_timer(args, mesh):
     """value+grad w.r.t. the coupling g through the sharded TFIM."""
-    @jax.jit
     def solve(g):
         op = tfim_sharded_operator(args.n, g, mesh, dtype=jnp.float32)
         lam, _ = dominant_eigh(op, k=args.k, extreme="min", tol=1e-5,
                                maxiter=150, reorth_passes=1)
         return lam
 
+    # Jit the WHOLE value_and_grad (like the sparse path): an un-jitted
+    # AD wrapper around an inner jit re-runs the linearize/transpose
+    # machinery on every timed repeat — fixed host overhead inside the
+    # timing that does not shrink with p, deflating the reported
+    # strong-scaling efficiency.
+    val_grad = jax.jit(jax.value_and_grad(solve))
+
     def run(i):
-        out = jax.value_and_grad(solve)(jnp.float32(args.g + i * 1e-6))
+        out = val_grad(jnp.float32(args.g + i * 1e-6))
         return tuple(float(x) for x in out)
     return run
 

@@ -59,8 +59,10 @@ def run_sharded(args):
     p = args.shards
     devices = jax.devices()[:p]
     mesh = Mesh(np.asarray(devices).reshape(1, p), (BATCH_AXIS, SHARD_AXIS))
-    op = random_bell_operator(jax.random.PRNGKey(2), n=args.n, bs=args.bs,
-                              blocks_per_row=args.bpr, dtype=jnp.float32)
+    op = random_bell_operator(
+        jax.random.PRNGKey(2), n=args.n, bs=args.bs,
+        blocks_per_row=args.bpr, dtype=jnp.float32,
+        vals_dtype=jnp.bfloat16 if args.bf16_vals else None)
     sop = RowShardedBellOperator.from_bell(op, mesh, mode=args.mode)
     x = shard_vector(jax.random.normal(jax.random.PRNGKey(3), (args.n,),
                                        jnp.float32), mesh)
@@ -110,6 +112,10 @@ def main():
     args = ap.parse_args()
 
     if args.shards:
+        if args.spmm:
+            ap.error("--spmm with --shards is not wired in this bench; "
+                     "the distributed SpMM tier is exercised by "
+                     "RowShardedBellOperator.matmat in the test suite")
         return run_sharded(args)
 
     vals_dtype = jnp.bfloat16 if args.bf16_vals else None
@@ -135,24 +141,21 @@ def main():
             return jax.lax.fori_loop(0, N_CHAIN, body, xx)
         return jax.jit(run)
 
+    # Off-TPU the non-interpret kernel would reach Mosaic lowering and
+    # crash before the JSON line; interpret mode keeps the same code
+    # path testable anywhere (the numbers are only meaningful on-chip).
+    interp = jax.default_backend() != "tpu"
+
     if args.spmm:
         r = args.spmm
         from dominantsparseeigenad_tpu import bell_spmm
         X = jax.random.normal(jax.random.PRNGKey(3), (args.n, r),
                               jnp.float32)
 
-        def chain_mm(once):
-            def run(v, c, xx):
-                def body(_, cur):
-                    y = once(v, c, cur)
-                    return y / jnp.linalg.norm(y)
-                return jax.lax.fori_loop(0, N_CHAIN, body, xx)
-            return jax.jit(run)
-
-        f_mm = chain_mm(lambda v, c, xx: bell_spmm(v, c, xx, False,
-                                                   op.slot_plan))
-        f_cols = chain_mm(lambda v, c, xx: jnp.stack(
-            [bell_spmv(v, c, xx[:, j], False, op.slot_plan)
+        f_mm = chain(lambda v, c, xx: bell_spmm(v, c, xx, interp,
+                                                op.slot_plan))
+        f_cols = chain(lambda v, c, xx: jnp.stack(
+            [bell_spmv(v, c, xx[:, j], interp, op.slot_plan)
              for j in range(r)], axis=1))
         dt_mm = _sync_time(lambda v, c, xx: f_mm(v, c, xx)[:, 0],
                            op.vals, op.cols, X) / N_CHAIN
@@ -173,7 +176,7 @@ def main():
     # Pass the slot plan exactly as BellOperator.matvec would: the
     # measured path must be the production path (the banded slab-DMA
     # kernel), not the generic gather fallback.
-    f_pal = chain(lambda v, c, xx: bell_spmv(v, c, xx, False,
+    f_pal = chain(lambda v, c, xx: bell_spmv(v, c, xx, interp,
                                              op.slot_plan))
     f_xla = chain(lambda v, c, xx: BellOperator(
         v, c, args.n, use_pallas=False)._xla_matvec(xx))

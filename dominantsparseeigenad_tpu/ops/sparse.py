@@ -404,7 +404,15 @@ class BellOperator(LinearOperator):
     def astype_vals(self, dtype):
         """Copy with the block values cast to ``dtype`` (e.g. bf16 for
         the narrow-values tier); Krylov vectors keep ``compute_dtype``."""
-        return type(self)(self.vals.astype(dtype), self.cols, self.n,
+        return self.with_vals(self.vals.astype(dtype))
+
+    def with_vals(self, vals):
+        """Copy with new block values on the SAME sparsity pattern —
+        mirrors ``RowShardedBellOperator.with_vals`` so parameterized
+        sparse entries (optimization over couplings) use one idiom on
+        both tiers, carrying every construction knob (compute_dtype,
+        slot_plan, kernel choice) instead of hand-rebuilding."""
+        return type(self)(vals, self.cols, self.n,
                           symmetric=self.symmetric,
                           use_pallas=self.use_pallas,
                           interpret=self.interpret,

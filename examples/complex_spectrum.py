@@ -70,8 +70,12 @@ def main():
         a, m=args.m, num_iters=1500, power_tol=1e-12)
     print(f"stage structure: {structure}")
     w = np.linalg.eigvals(np.asarray(a))
-    w = w[np.argsort(-np.abs(w))][: args.m]
-    for j in range(args.m):
+    # lams can carry m+1 entries when the m-th slot lands on the first
+    # member of a conjugate pair (the solver never splits a pair);
+    # compare over the actual returned length.
+    m_got = len(lams)
+    w = w[np.argsort(-np.abs(w))][:m_got]
+    for j in range(m_got):
         lam = complex(lams[j])
         ref = w[j]
         print(f"lam_{j} = {lam.real:+.6f}{lam.imag:+.6f}i  |lam| = "

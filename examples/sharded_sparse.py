@@ -41,12 +41,17 @@ for _i, _a in enumerate(sys.argv):
     elif _a.startswith("--platform="):
         _platform = _a.split("=", 1)[1]
 if _platform is None:
+    _platform = os.environ.get("JAX_PLATFORMS") or None
+if _platform is None:
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
     jax.config.update("jax_platforms", "cpu")
 else:
+    # Honor an explicit environment choice exactly like the sibling
+    # distributed_lanczos.py — JAX_PLATFORMS=tpu on a real slice must
+    # not be silently overridden onto 8 virtual CPU devices.
     jax.config.update("jax_platforms", _platform)
 
 
@@ -92,10 +97,9 @@ def main():
     # exact, and computed WITHOUT materializing anything dense (the IFT
     # backward contracts the adjoint lazily into the vals leaf).
     def lam_of(vals, operator):
-        lam, _ = dominant_eigh(operator.with_vals(vals) if operator is sop
-                               else type(op)(vals, op.cols, op.n,
-                                             symmetric=True,
-                                             use_pallas=False),
+        # Both tiers share the with_vals idiom (same pattern, new
+        # entries — all construction knobs carried along).
+        lam, _ = dominant_eigh(operator.with_vals(vals),
                                k=args.k, extreme="min")
         return lam
 
