@@ -210,3 +210,51 @@ def test_sharded_generalized_pencil_matches_dense(mesh):
     gs = jax.jit(jax.grad(sharded, argnums=(0, 1)))(a, b)
     for x, y in zip(gs, gd):
         np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_restart_cycles_value_and_grad(mesh):
+    """Cross-tier combination: bounded-memory thick restart
+    (restart_cycles) THROUGH the row-sharded matrix-free TFIM operator —
+    the memory-scaling story composed with the distribution story.
+    Value + IFT gradient vs the exact Jordan-Wigner oracle."""
+    from dominantsparseeigenad_tpu.models import (tfim_exact_e0,
+                                                  tfim_sharded_operator)
+
+    n = 12
+
+    def e0(g):
+        op = tfim_sharded_operator(n, g, mesh)
+        lam, _ = dominant_eigh(op, k=24, restart_cycles=6, extreme="min")
+        return lam
+
+    val, grad = jax.jit(jax.value_and_grad(e0))(jnp.float64(1.0))
+    ex = float(tfim_exact_e0(n, 1.0))
+    exg = float(jax.grad(lambda g: tfim_exact_e0(n, g))(jnp.float64(1.0)))
+    np.testing.assert_allclose(float(val), ex, rtol=1e-10)
+    np.testing.assert_allclose(float(grad), exg, rtol=1e-8)
+
+
+def test_sharded_complex_hermitian_eigh(mesh):
+    """Cross-tier combination: a COMPLEX Hermitian matrix row-sharded
+    over the mesh — eigenvalue and parameter gradient vs the dense
+    oracle (the complex machinery and the distribution machinery
+    composed, which no single-tier test exercises)."""
+    n = 256
+    rng = np.random.default_rng(12)
+    h0 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    h0 = (h0 + h0.conj().T) / 2
+    h1 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    h1 = jnp.asarray((h1 + h1.conj().T) / 2)
+    h0j = jnp.asarray(h0)
+
+    def lam_of(t):
+        op = RowShardedOperator(h0j + t * h1, mesh)
+        lam, _ = dominant_eigh(op, k=60, extreme="min")
+        return lam
+
+    val, grad = jax.jit(jax.value_and_grad(lam_of))(jnp.float64(0.0))
+    ev, evec = np.linalg.eigh(h0)
+    np.testing.assert_allclose(float(val), ev[0], rtol=1e-10)
+    v0 = evec[:, 0]
+    exg = float(np.real(v0.conj() @ (np.asarray(h1) @ v0)))
+    np.testing.assert_allclose(float(grad), exg, rtol=1e-8)
