@@ -1,0 +1,162 @@
+"""Seed-swept consistency fuzz across solvers, dtypes and formats.
+
+Breadth complement to the targeted suites (the round-3/round-4 review
+cycles showed that single-configuration tests leave configuration holes —
+the complex-gauge chi_F bug survived 200 targeted tests).  Shapes are
+FIXED so each sweep compiles once and replays over many random
+instances; every check compares against a dense numpy oracle or central
+finite differences, the reference's own gradcheck strategy (SURVEY.md
+§4) widened over a corpus.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dominantsparseeigenad_tpu import (COOOperator, CSROperator,
+                                       DenseOperator, MatrixFreeOperator,
+                                       dominant_eig, dominant_eigh)
+
+N = 48
+N_SEEDS = 12
+
+
+def _sym(rng, complex_=False):
+    a = rng.standard_normal((N, N))
+    if complex_:
+        a = a + 1j * rng.standard_normal((N, N))
+    return (a + a.conj().T) / 2
+
+
+@pytest.mark.parametrize("complex_", [False, True], ids=["real", "complex"])
+def test_fuzz_dominant_eigh_values_and_grads(complex_):
+    """min/max eigenvalue + directional derivative vs numpy/FD over a
+    random Hermitian corpus (one jitted program, N_SEEDS instances)."""
+    @jax.jit
+    def both(a):
+        lmin, _ = dominant_eigh(a, k=N, extreme="min")
+        lmax, _ = dominant_eigh(a, k=N, extreme="max")
+        return lmin, lmax
+
+    @jax.jit
+    def dmin(a, da):
+        return jax.jvp(lambda m: dominant_eigh(m, k=N, extreme="min")[0],
+                       (a,), (da,))
+
+    for seed in range(N_SEEDS):
+        rng = np.random.default_rng(1000 + seed)
+        a_np = _sym(rng, complex_)
+        da_np = _sym(rng, complex_)
+        a, da = jnp.asarray(a_np), jnp.asarray(da_np)
+        w = np.linalg.eigvalsh(a_np)
+        lmin, lmax = both(a)
+        np.testing.assert_allclose(float(lmin), w[0], rtol=1e-9,
+                                   err_msg=f"seed {seed}")
+        np.testing.assert_allclose(float(lmax), w[-1], rtol=1e-9,
+                                   err_msg=f"seed {seed}")
+        # Gap guard: FD through a near-degenerate extremal pair measures
+        # the subgradient, not the derivative — skip those seeds.
+        if w[1] - w[0] < 1e-3:
+            continue
+        _, g = dmin(a, da)
+        eps = 1e-6
+        num = (np.linalg.eigvalsh(a_np + eps * da_np)[0]
+               - np.linalg.eigvalsh(a_np - eps * da_np)[0]) / (2 * eps)
+        # atol floor: central FD carries ~1e-8 absolute noise, which
+        # dominates rtol when the directional derivative is near zero.
+        np.testing.assert_allclose(float(g), num, rtol=1e-6, atol=1e-7,
+                                   err_msg=f"seed {seed}")
+
+
+def test_fuzz_dominant_eig_triples():
+    """Non-symmetric dominant triples over a random corpus with an
+    enforced Perron gap: residuals of BOTH vectors on the original
+    matrix, the bilinear normalization, and the FD derivative of lam."""
+    @jax.jit
+    def solve(a):
+        return dominant_eig(a, num_iters=800, power_tol=1e-12,
+                            method="arnoldi", with_info=True)
+
+    @jax.jit
+    def dlam(a, da):
+        return jax.jvp(lambda m: dominant_eig(
+            m, num_iters=800, power_tol=1e-12, method="arnoldi")[0],
+            (a,), (da,))
+
+    for seed in range(N_SEEDS):
+        rng = np.random.default_rng(2000 + seed)
+        a_np = rng.standard_normal((N, N))
+        # Enforce a real simple dominant eigenvalue (Perron setting).
+        a_np = a_np + 1.5 * np.abs(a_np).sum(axis=1).max() * np.eye(N) / N \
+            + np.outer(np.abs(rng.standard_normal(N)) + 0.5,
+                       np.abs(rng.standard_normal(N)) + 0.5)
+        da_np = rng.standard_normal((N, N))
+        a, da = jnp.asarray(a_np), jnp.asarray(da_np)
+        lam, l, r, info = solve(a)
+        assert float(info.converged) == 1.0, f"seed {seed}"
+        w = np.linalg.eigvals(a_np)
+        lam_ref = w[np.argmax(np.abs(w))]
+        assert abs(lam_ref.imag) < 1e-9, f"seed {seed}: not Perron"
+        np.testing.assert_allclose(float(lam), lam_ref.real, rtol=1e-8,
+                                   err_msg=f"seed {seed}")
+        rv, lv = np.asarray(r), np.asarray(l)
+        assert np.linalg.norm(a_np @ rv - float(lam) * rv) < 1e-7
+        assert np.linalg.norm(a_np.T @ lv - float(lam) * lv) \
+            / np.linalg.norm(lv) < 1e-7
+        np.testing.assert_allclose(float(np.sum(lv * rv)), 1.0, rtol=1e-9)
+        _, g = dlam(a, da)
+        eps = 1e-6
+
+        def lam_at(m):
+            ww = np.linalg.eigvals(m)
+            return ww[np.argmax(np.abs(ww))].real
+
+        num = (lam_at(a_np + eps * da_np)
+               - lam_at(a_np - eps * da_np)) / (2 * eps)
+        np.testing.assert_allclose(float(g), num, rtol=1e-5,
+                                   err_msg=f"seed {seed}")
+
+
+def test_fuzz_format_parity():
+    """The same random sparse symmetric matrix through every storage
+    format must give identical eigenvalues AND identical gradients w.r.t.
+    a global scale parameter (dense/COO/CSR/matrix-free share the solver
+    code paths — parity is the invariant the formats must uphold)."""
+    def make_ops(a_np, t):
+        a = t * jnp.asarray(a_np)
+        rows, cols = np.nonzero(a_np)
+        dense = DenseOperator(a)
+        coo = COOOperator(jnp.asarray(rows), jnp.asarray(cols),
+                          t * jnp.asarray(a_np[rows, cols]), N)
+        import scipy.sparse as sp
+        csr_np = sp.csr_matrix(a_np)
+        csr = CSROperator(jnp.asarray(csr_np.indptr),
+                          jnp.asarray(csr_np.indices),
+                          t * jnp.asarray(csr_np.data), N)
+        aj = jnp.asarray(a_np)
+        mf = MatrixFreeOperator(lambda p, x: p * (aj @ x), t, dim=N,
+                                dtype=aj.dtype)
+        return {"dense": dense, "coo": coo, "csr": csr, "mf": mf}
+
+    @jax.jit
+    def lam_grad(op):
+        return dominant_eigh(op, k=N, extreme="min")[0]
+
+    for seed in range(6):
+        rng = np.random.default_rng(3000 + seed)
+        a_np = rng.standard_normal((N, N)) * (rng.random((N, N)) < 0.2)
+        a_np = (a_np + a_np.T) / 2
+        vals = {}
+        for name, op in make_ops(a_np, jnp.float64(1.0)).items():
+            f = lambda t, nm=name: lam_grad(make_ops(a_np, t)[nm])
+            val, grad = jax.value_and_grad(f)(jnp.float64(1.0))
+            vals[name] = (float(val), float(grad))
+        ref = vals["dense"]
+        w = np.linalg.eigvalsh(a_np)
+        np.testing.assert_allclose(ref[0], w[0], rtol=1e-9)
+        for name, (v, g) in vals.items():
+            np.testing.assert_allclose(v, ref[0], rtol=1e-9,
+                                       err_msg=f"{name} seed {seed}")
+            np.testing.assert_allclose(g, ref[1], rtol=1e-7,
+                                       err_msg=f"{name} seed {seed}")
