@@ -45,6 +45,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Derivative-rule GEMMs are pinned to HIGHEST precision (shared policy,
+# operators.hmatmul): on TPU the DEFAULT (n,n)@(n,r) matmul is one bf16
+# pass (~2.5e-3 relative — chip-measured in ops/operators.py), and these
+# matmuls directly set GRADIENT digits of the TRG/CTMRG flows.  The
+# FORWARD decompositions keep the caller's dtype/precision choice — the
+# compute tier is the user's knob, the rule's accuracy is not.
+from .operators import hmatmul as _mm
+
 
 def _eps_floor(eps: float, dtype) -> float:
     """Dtype-aware broadening floor.
@@ -79,14 +87,14 @@ def _eigh_safe_jvp(eps, primals, tangents):
     eps = _eps_floor(eps, a.dtype)
     w, v = eigh_safe(a, eps)
     da = (da + da.T.conj()) / 2
-    vt_da_v = v.T.conj() @ da @ v
+    vt_da_v = _mm(_mm(v.T.conj(), da), v)
     dw = jnp.real(jnp.diag(vt_da_v))
     # dv_i = sum_{j != i} v_j (v_j^T dA v_i) / (λi - λj): with
     # gap[j, i] = λi - λj, the coefficient matrix is f ∘ (V^T dA V).
     gap = w[None, :] - w[:, None]
     f = gap / (gap * gap + eps * eps)
     f = f * (1.0 - jnp.eye(w.shape[0], dtype=w.dtype))
-    dv = v @ (f * vt_da_v)
+    dv = _mm(v, f * vt_da_v)
     return (w, v), (dw, dv)
 
 
@@ -115,8 +123,8 @@ def _eigh_safe_truncated_jvp(r, eps, primals, tangents):
     w_full, v_full = eigh_safe(a, eps)
     w = w_full[::-1][:r]
     v = v_full[:, ::-1][:, :r]
-    da_v = da @ v                               # (n, r)
-    m = v_full.T.conj() @ da_v                  # (n, r): basis coeffs
+    da_v = _mm(da, v)                           # (n, r)
+    m = _mm(v_full.T.conj(), da_v)              # (n, r): basis coeffs
     dw = jnp.real(jnp.einsum("ni,ni->i", v.conj(), da_v))
     # dv_i = sum_{j != i} v_j <v_j, dA v_i> / (lam_i - lam_j), broadened.
     gap = w[None, :] - w_full[:, None]          # (n, r): lam_i - lam_j
@@ -127,7 +135,7 @@ def _eigh_safe_truncated_jvp(r, eps, primals, tangents):
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, r), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, r), 1)
     f = jnp.where(rows == n - 1 - cols, 0.0, f)
-    dv = v_full @ (f * m)
+    dv = _mm(v_full, f * m)
     return (w, v), (dw, dv)
 
 
@@ -189,25 +197,25 @@ def _svd_safe_truncated_jvp(r, eps, oversample, power_iters,
     uk, sk, vtk = svd_safe_truncated(a, k, eps, 0, power_iters)
     vk = vtk.T.conj()
     u, s, v = uk[:, :r], sk[:r], vk[:, :r]
-    da_v = da @ v                               # (n, r)
-    dat_u = da.conj().T @ u                     # (m, r)
-    p1 = uk.T.conj() @ da_v                     # (k, r): <u_j, dA v_i>
-    p2 = vk.T.conj() @ dat_u                    # (k, r): <v_j, dAᵀ u_i>
+    da_v = _mm(da, v)                           # (n, r)
+    dat_u = _mm(da.conj().T, u)                 # (m, r)
+    p1 = _mm(uk.T.conj(), da_v)                 # (k, r): <u_j, dA v_i>
+    p2 = _mm(vk.T.conj(), dat_u)                # (k, r): <v_j, dAᵀ u_i>
     ds = jnp.real(jnp.diagonal(p1[:r]))
     gap = s[None, :] ** 2 - sk[:, None] ** 2    # gap[j, i] = σ_i² - σ_j²
     f = gap / (gap * gap + eps * eps)
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, r), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (k, r), 1)
     f = jnp.where(rows == cols, 0.0, f)
-    du = uk @ (f * (p1 * s[None, :] + sk[:, None] * p2))
-    dv = vk @ (f * (p2 * s[None, :] + sk[:, None] * p1))
+    du = _mm(uk, f * (p1 * s[None, :] + sk[:, None] * p2))
+    dv = _mm(vk, f * (p2 * s[None, :] + sk[:, None] * p1))
     # Orthogonal-complement terms for modes beyond the sketch window;
     # guard σ⁻¹ against (near-)zero kept values.
     s_ref = jnp.maximum(s[0], jnp.finfo(s.dtype).tiny)
     ok = s > s_ref * jnp.finfo(s.dtype).eps
     sinv = jnp.where(ok, 1.0 / jnp.where(ok, s, 1.0), 0.0)
-    du = du + (da_v - uk @ (uk.T.conj() @ da_v)) * sinv[None, :]
-    dv = dv + (dat_u - vk @ (vk.T.conj() @ dat_u)) * sinv[None, :]
+    du = du + (da_v - _mm(uk, _mm(uk.T.conj(), da_v))) * sinv[None, :]
+    dv = dv + (dat_u - _mm(vk, _mm(vk.T.conj(), dat_u))) * sinv[None, :]
     if jnp.iscomplexobj(a):
         # Complex diagonal coupling: Im<u_i, dA v_i> fixes the RELATIVE
         # phase tangent of (u_i, v_i) — α_i - β_i = Im(P_ii)/σ_i with
@@ -251,15 +259,15 @@ def _svd_safe_jvp(eps, primals, tangents):
     # complex tangent for the real s — a hard TypeError under jvp — and
     # the wrong adjoint for complex factors (round-4 review).
     v = vt.conj().T
-    dp = u.conj().T @ da @ v                # U^H dA V
+    dp = _mm(_mm(u.conj().T, da), v)        # U^H dA V
     ds = jnp.real(jnp.diagonal(dp))
     s2 = s * s
     gap = s2[None, :] - s2[:, None]         # gap[i, j] = s_j^2 - s_i^2
     f = gap / (gap * gap + eps * eps)
     f = f * (1.0 - jnp.eye(s.shape[0], dtype=s.dtype))
     # dU = U (F ∘ (dP Σ + Σ dP^H)),  dV = V (F ∘ (Σ dP + dP^H Σ)).
-    du = u @ (f * (dp * s[None, :] + s[:, None] * dp.conj().T))
-    dv = v @ (f * (s[:, None] * dp + dp.conj().T * s[None, :]))
+    du = _mm(u, f * (dp * s[None, :] + s[:, None] * dp.conj().T))
+    dv = _mm(v, f * (s[:, None] * dp + dp.conj().T * s[None, :]))
     if jnp.iscomplexobj(a):
         # Relative-phase diagonal coupling (see the truncated rule):
         # Im(P_ii)/σ_i rides on dU, jax-convention.
