@@ -235,3 +235,28 @@ def test_lobpcg_block_solver_on_chip():
     assert out[r + 1] == 1.0, "LOBPCG failed to converge on chip"
     assert out[r] < 500, out[r]
     np.testing.assert_allclose(out[:r], np.sort(d)[:r], rtol=1e-3)
+
+
+def test_spectral_slice_on_chip():
+    """Interior spectrum slicing in f32 on the real MXU: the Chebyshev
+    filter + LOBPCG + Rayleigh-Ritz pipeline must find EVERY eigenvalue
+    in the window (count asserted against the f64 numpy oracle) and
+    report convergence — exercises the filter recurrence, the block
+    solver, and the dense-tier precision pins together on hardware."""
+    from dominantsparseeigenad_tpu import spectral_slice
+
+    n = 128
+    rng = np.random.default_rng(3)
+    d = np.sort(rng.standard_normal(n) * 3)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = jnp.asarray(q @ np.diag(d) @ q.T, jnp.float32)
+    truth = d[(d >= -1.0) & (d <= 1.0)]
+    lams, vs, info = jax.jit(lambda m: spectral_slice(
+        m, -1.0, 1.0, r=len(truth) + 4, maxiter=150, tol=1e-4))(a)
+    out = np.asarray(jnp.concatenate(
+        [info.n_inside[None], info.converged[None], lams]))
+    assert int(out[0]) == len(truth), (int(out[0]), len(truth))
+    assert out[1] == 1.0
+    got = np.sort(out[2:2 + len(truth) + 4])
+    inside = got[(got >= -1.0) & (got <= 1.0)]
+    np.testing.assert_allclose(inside, truth, atol=5e-4)
