@@ -260,3 +260,34 @@ def test_spectral_slice_on_chip():
     got = np.sort(out[2:2 + len(truth) + 4])
     inside = got[(got >= -1.0) & (got <= 1.0)]
     np.testing.assert_allclose(inside, truth, atol=5e-4)
+
+
+def test_pair_subspace_iteration_converges_on_chip():
+    """The 2-D orthogonal iteration behind dominant_eig_pair, in f32 on
+    the MXU: at DEFAULT matmul precision its residual had a ~1e-2 floor
+    and could never converge (round-4 fix pinned the restriction GEMMs
+    to HIGHEST).  The complex recombination cannot run on this backend
+    (complex64 is UNIMPLEMENTED on the tunneled plugin), so the lane
+    asserts the all-real core: convergence below the f32 tolerance and
+    the correct complex pair recovered from the 2x2 block on the host."""
+    from dominantsparseeigenad_tpu.ops.eig import _subspace_2
+    from dominantsparseeigenad_tpu.ops.operators import (as_operator,
+                                                         tol_floor)
+
+    n, th = 256, 0.8
+    rng = np.random.default_rng(9)
+    blk = np.zeros((n, n))
+    blk[0:2, 0:2] = 2.8 * np.array([[np.cos(th), -np.sin(th)],
+                                    [np.sin(th), np.cos(th)]])
+    blk[2:, 2:] = np.diag(0.8 * rng.random(n - 2))
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = jnp.asarray(q @ blk @ q.T, jnp.float32)
+    ptol = tol_floor(1e-12, jnp.float32)
+    qq, b, resid, it = jax.jit(lambda m: _subspace_2(
+        as_operator(m).matvec, n, jnp.float32, jax.random.PRNGKey(0),
+        600, ptol))(a)
+    out = np.asarray(jnp.concatenate([jnp.ravel(b), resid[None]]))
+    assert out[4] <= float(ptol), f"resid {out[4]:.2e} > ptol {ptol:.2e}"
+    tr, det = out[0] + out[3], out[0] * out[3] - out[1] * out[2]
+    lam = tr / 2 + 1j * np.sqrt(max(det - tr * tr / 4, 0.0))
+    assert abs(lam - 2.8 * np.exp(1j * th)) < 1e-3
