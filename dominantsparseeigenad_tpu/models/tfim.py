@@ -23,8 +23,10 @@ the reference does with double backward:
 
 * ``dE0/dg``, ``d2E0/dg2`` (reference ED example; BASELINE config #2);
 * fidelity susceptibility  chi_F = <∂ψ|∂ψ> - <∂ψ|ψ><ψ|∂ψ>  (reference
-  sparse example) — with this framework's gauge (v^T dv = 0 from the
-  deflated solve) it is simply ``||dψ/dg||^2`` of a ``jax.jvp``.
+  sparse example) — one ``jax.jvp`` through the IFT rule yields ∂ψ/∂g;
+  the gauge term is subtracted explicitly by the shared
+  ``ops.observables.fidelity_susceptibility`` (zero for real operators,
+  essential for complex ones).
 """
 
 from __future__ import annotations
