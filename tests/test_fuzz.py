@@ -160,3 +160,86 @@ def test_fuzz_format_parity():
                                        err_msg=f"{name} seed {seed}")
             np.testing.assert_allclose(g, ref[1], rtol=1e-7,
                                        err_msg=f"{name} seed {seed}")
+
+
+def test_fuzz_dominant_svd():
+    """Truncated SVD over random rectangular corpora (both
+    orientations): singular values vs numpy, triple residuals
+    ``A v = s u``, and the FD derivative of ``sum(s)`` — exercises the
+    Hermitian-embedding forward and the block solver after the round-4
+    LOBPCG/precision fixes."""
+    from dominantsparseeigenad_tpu import dominant_svd
+
+    for m, n in [(40, 24), (24, 40)]:
+        @jax.jit
+        def dsum(a, da):
+            return jax.jvp(lambda x: jnp.sum(
+                dominant_svd(x, r=3, k=64)[1]), (a,), (da,))
+
+        for seed in range(4):
+            rng = np.random.default_rng(4000 + seed)
+            a_np = rng.standard_normal((m, n))
+            da_np = rng.standard_normal((m, n))
+            a, da = jnp.asarray(a_np), jnp.asarray(da_np)
+            u, s, v = dominant_svd(a, r=3, k=64)
+            s_ref = np.linalg.svd(a_np, compute_uv=False)[:3]
+            np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-9,
+                                       err_msg=f"{m}x{n} seed {seed}")
+            for j in range(3):
+                # residual scales with sigma (solver tol is relative)
+                assert np.linalg.norm(
+                    a_np @ np.asarray(v[:, j])
+                    - float(s[j]) * np.asarray(u[:, j])) < 1e-6
+            if s_ref[2] - np.linalg.svd(a_np, compute_uv=False)[3] < 1e-3:
+                continue  # FD through a near-degenerate boundary
+            _, g = dsum(a, da)
+            eps = 1e-6
+            num = (np.linalg.svd(a_np + eps * da_np,
+                                 compute_uv=False)[:3].sum()
+                   - np.linalg.svd(a_np - eps * da_np,
+                                   compute_uv=False)[:3].sum()) / (2 * eps)
+            np.testing.assert_allclose(float(g), num, rtol=1e-6,
+                                       atol=1e-7,
+                                       err_msg=f"{m}x{n} seed {seed}")
+
+
+def test_fuzz_generalized_pencil():
+    """Generalized symmetric-definite pencils A x = lam B x over a
+    random corpus: eigenvalues vs scipy and FD gradients in BOTH
+    operands — exercises the B-metric LOBPCG forward after the
+    conjugate-direction fix."""
+    import scipy.linalg as sla
+    from dominantsparseeigenad_tpu import dominant_eigh_gen
+
+    n, r = 40, 3
+
+    @jax.jit
+    def dval(a, b, da, db):
+        return jax.jvp(lambda x, y: jnp.sum(dominant_eigh_gen(
+            x, y, r=r, maxiter=600, tol=1e-10)[0]), (a, b), (da, db))
+
+    for seed in range(4):
+        rng = np.random.default_rng(5000 + seed)
+        a_np = rng.standard_normal((n, n))
+        a_np = (a_np + a_np.T) / 2
+        c = rng.standard_normal((n, n)) / np.sqrt(n)
+        b_np = c @ c.T + np.eye(n)           # SPD, moderate conditioning
+        da_np = rng.standard_normal((n, n)); da_np = (da_np + da_np.T) / 2
+        db_np = rng.standard_normal((n, n)) / 4
+        db_np = (db_np + db_np.T) / 2
+        a, b = jnp.asarray(a_np), jnp.asarray(b_np)
+        lams, x = dominant_eigh_gen(a, b, r=r, maxiter=600, tol=1e-10)
+        ref = sla.eigh(a_np, b_np, eigvals_only=True)[:r]
+        np.testing.assert_allclose(np.asarray(lams), ref, rtol=1e-8,
+                                   err_msg=f"seed {seed}")
+        w_all = sla.eigh(a_np, b_np, eigvals_only=True)
+        if w_all[r] - w_all[r - 1] < 1e-3:
+            continue
+        _, g = dval(a, b, jnp.asarray(da_np), jnp.asarray(db_np))
+        eps = 1e-6
+        num = (sla.eigh(a_np + eps * da_np, b_np + eps * db_np,
+                        eigvals_only=True)[:r].sum()
+               - sla.eigh(a_np - eps * da_np, b_np - eps * db_np,
+                          eigvals_only=True)[:r].sum()) / (2 * eps)
+        np.testing.assert_allclose(float(g), num, rtol=1e-5, atol=1e-7,
+                                   err_msg=f"seed {seed}")
