@@ -243,3 +243,39 @@ def test_fuzz_generalized_pencil():
                           eigvals_only=True)[:r].sum()) / (2 * eps)
         np.testing.assert_allclose(float(g), num, rtol=1e-5, atol=1e-7,
                                    err_msg=f"seed {seed}")
+
+
+@pytest.mark.parametrize("complex_", [False, True], ids=["real", "complex"])
+def test_fuzz_second_order(complex_):
+    """Second directional derivative d²λ/dt² of the extremal eigenvalue
+    along random Hermitian rays vs the sum-over-states oracle — the
+    flagship capability (chi_F, c_v) swept over a corpus at order 2."""
+    @jax.jit
+    def d2(a, da):
+        def lam(t):
+            return dominant_eigh(DenseOperator(a + t * da), k=N,
+                                 extreme="min")[0]
+
+        def g(t):
+            return jax.jvp(lam, (t,), (jnp.ones_like(t),))
+
+        (_, d1), (_, dd) = jax.jvp(g, (jnp.float64(0.0),),
+                                   (jnp.float64(1.0),))
+        return d1, dd
+
+    for seed in range(8):
+        rng = np.random.default_rng(6000 + seed)
+        a_np = _sym(rng, complex_)
+        da_np = _sym(rng, complex_)
+        w, vec = np.linalg.eigh(a_np)
+        if w[1] - w[0] < 1e-2:
+            continue  # perturbation series ill-conditioned at tiny gaps
+        d1, dd = d2(jnp.asarray(a_np), jnp.asarray(da_np))
+        v0 = vec[:, 0]
+        me = vec[:, 1:].conj().T @ (da_np @ v0)
+        d1_ref = float(np.real(v0.conj() @ (da_np @ v0)))
+        d2_ref = float(2.0 * np.sum(np.abs(me) ** 2 / (w[0] - w[1:])))
+        np.testing.assert_allclose(float(d1), d1_ref, rtol=1e-8,
+                                   atol=1e-10, err_msg=f"seed {seed}")
+        np.testing.assert_allclose(float(dd), d2_ref, rtol=1e-6,
+                                   atol=1e-8, err_msg=f"seed {seed}")
