@@ -93,8 +93,41 @@ def main():
             shard_vector(jnp.ones((n_global,)), mesh))
     assert float(total[0]) == float(n_global), total
 
+    # SPARSE tier over the SAME cross-process mesh: the row-sharded
+    # blocked-ELL operator's all-gather SpMV and its matrix-entry
+    # gradient must match the process-local dense oracle — the one
+    # distribution tier the dense check above does not reach.
+    from dominantsparseeigenad_tpu import random_bell_operator
+    from dominantsparseeigenad_tpu.parallel import RowShardedBellOperator
+
+    bop = random_bell_operator(jax.random.PRNGKey(7), n=n, bs=16,
+                               blocks_per_row=5, dtype=jnp.float64,
+                               use_pallas=False)
+    sbop = RowShardedBellOperator.from_bell(bop, mesh)
+
+    def lam_sparse(vals, o):
+        # o passed as an ARGUMENT: closing over an operator whose leaves
+        # span non-addressable devices is rejected by jit.
+        lam, _ = dominant_eigh(o.with_vals(vals), k=k, extreme="min")
+        return lam
+
+    lam_s, grad_s = jax.jit(jax.value_and_grad(lam_sparse))(sbop.vals,
+                                                            sbop)
+    dense = np.zeros((n, n))
+    cols_np = np.asarray(bop.cols)
+    vals_np = np.asarray(bop.vals)
+    for i in range(cols_np.shape[0]):
+        for j in range(cols_np.shape[1]):
+            c = int(cols_np[i, j])
+            dense[i * 16:(i + 1) * 16, c * 16:(c + 1) * 16] += vals_np[i, j]
+    ev_s = np.linalg.eigvalsh(dense)
+    assert abs(float(lam_s) - ev_s[0]) < 1e-9 * max(1.0, abs(ev_s[0])), \
+        (float(lam_s), ev_s[0])
+    gs = float(jnp.linalg.norm(grad_s))
+    assert np.isfinite(gs) and 0.0 < gs <= 1.0 + 1e-8, gs
+
     print(f"OK proc={proc_id} lam={lam:.12f} gnorm={gnorm:.2e} "
-          f"devices={n_global}")
+          f"lam_sparse={float(lam_s):.12f} devices={n_global}")
 
 
 if __name__ == "__main__":
