@@ -369,6 +369,12 @@ def run_aux_configs(record: dict) -> None:
     r = _aux_config("spmv.py", ("--shards", "1"))
     if r:
         record["config5_sharded_nnz_per_s_chip"] = r.get("value")
+    r = _aux_config("spmv.py", ("--shards", "1", "--bf16-vals"))
+    if r:
+        # Narrow-values tier THROUGH shard_map: the distributed path must
+        # not forfeit the 1.7x value-stream win (measured ~261 Gnnz/s/chip
+        # at p=1, within 1% of the unsharded bf16 tier).
+        record["config5_sharded_bf16_nnz_per_s_chip"] = r.get("value")
     r = _aux_config("spmv.py", ("--bf16-vals",))
     if r:
         # Narrow-values tier: ~2x the f32 value stream at a documented
