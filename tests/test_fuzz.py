@@ -279,3 +279,54 @@ def test_fuzz_second_order(complex_):
                                    atol=1e-10, err_msg=f"seed {seed}")
         np.testing.assert_allclose(float(dd), d2_ref, rtol=1e-6,
                                    atol=1e-8, err_msg=f"seed {seed}")
+
+
+def test_fuzz_block_solver_degenerate_clusters():
+    """dominant_eigh_multi on spectra with EXACT multiplets (the CTMRG
+    hazard): eigenvalue sums and subspace projectors must match numpy
+    even though individual eigenvectors are gauge inside a cluster, and
+    the scale-parameter gradient of the (gauge-invariant) trace must
+    match FD.  Swept over random cluster layouts."""
+    from dominantsparseeigenad_tpu import dominant_eigh_multi
+
+    n, r = 40, 4
+
+    @jax.jit
+    def solve(a):
+        return dominant_eigh_multi(a, r=r, k=n, extreme="max")
+
+    @jax.jit
+    def dsum(a, da):
+        return jax.jvp(lambda m: jnp.sum(dominant_eigh_multi(
+            m, r=r, k=n, extreme="max")[0]), (a,), (da,))
+
+    for seed in range(6):
+        rng = np.random.default_rng(7000 + seed)
+        # Random spectrum with an exact doublet or triplet at the top.
+        mult = int(rng.integers(2, 4))
+        top = 5.0 + rng.random()
+        d = np.concatenate([[top] * mult,
+                            np.sort(rng.random(n - mult) * 4)[::-1]])
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        a_np = q @ np.diag(d) @ q.T
+        a = jnp.asarray(a_np)
+        lams, v = solve(a)
+        np.testing.assert_allclose(np.asarray(lams), d[:r], rtol=1e-9,
+                                   err_msg=f"seed {seed} mult {mult}")
+        # Subspace parity (projector, not vectors — cluster gauge).
+        p_got = np.asarray(v) @ np.asarray(v).T
+        w, vec = np.linalg.eigh(a_np)
+        v_ref = vec[:, ::-1][:, :r]
+        p_ref = v_ref @ v_ref.T
+        assert np.abs(p_got - p_ref).max() < 1e-7, f"seed {seed}"
+        # Gradient of the gauge-invariant eigenvalue sum along a random
+        # symmetric ray, vs FD (the broadened rule must stay exact for
+        # cluster-invariant functionals).
+        da_np = rng.standard_normal((n, n)); da_np = (da_np + da_np.T) / 2
+        _, g = dsum(a, jnp.asarray(da_np))
+        eps = 1e-6
+        num = (np.linalg.eigvalsh(a_np + eps * da_np)[::-1][:r].sum()
+               - np.linalg.eigvalsh(a_np - eps * da_np)[::-1][:r].sum()) \
+            / (2 * eps)
+        np.testing.assert_allclose(float(g), num, rtol=1e-6, atol=1e-7,
+                                   err_msg=f"seed {seed}")
