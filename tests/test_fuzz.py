@@ -330,3 +330,42 @@ def test_fuzz_block_solver_degenerate_clusters():
             / (2 * eps)
         np.testing.assert_allclose(float(g), num, rtol=1e-6, atol=1e-7,
                                    err_msg=f"seed {seed}")
+
+
+def test_fuzz_forward_engine_parity():
+    """Every FORWARD ENGINE must produce the same extremal eigenvalue on
+    the same corpus: plain fixed-k, adaptive early-exit, thick-restart,
+    and the LOBPCG block method — engines differ in iteration shape, the
+    answer must not (swept over random Hermitian instances)."""
+    from dominantsparseeigenad_tpu import dominant_eigh_multi
+
+    @jax.jit
+    def plain(a):
+        return dominant_eigh(a, k=N, extreme="min")[0]
+
+    @jax.jit
+    def adaptive(a):
+        return dominant_eigh(a, k=N, extreme="min",
+                             early_exit_tol=1e-11)[0]
+
+    @jax.jit
+    def restarted(a):
+        return dominant_eigh(a, k=16, restart_cycles=10,
+                             extreme="min")[0]
+
+    @jax.jit
+    def lobpcg_multi(a):
+        return dominant_eigh_multi(a, r=2, method="lobpcg",
+                                   k=300, extreme="min")[0][0]
+
+    for seed in range(8):
+        rng = np.random.default_rng(8000 + seed)
+        a_np = _sym(rng)
+        a = jnp.asarray(a_np)
+        ref = np.linalg.eigvalsh(a_np)[0]
+        for name, f in [("plain", plain), ("adaptive", adaptive),
+                        ("restarted", restarted),
+                        ("lobpcg", lobpcg_multi)]:
+            np.testing.assert_allclose(
+                float(f(a)), ref, rtol=1e-7,
+                err_msg=f"{name} seed {seed}")
