@@ -107,8 +107,9 @@ def main():
     ap.add_argument("--bf16-vals", action="store_true",
                     help="narrow-values tier: store block values in bf16 "
                          "(f32 accumulate); halves the HBM value stream "
-                         "for ~2x nnz/s at a ~1e-2 relative matvec error "
-                         "(budget documented in ops/sparse.py)")
+                         "for ~2x nnz/s at the documented eps_bf16 ~ "
+                         "3.9e-3 storage-rounding budget (ops/sparse.py; "
+                         "measured ~1.7e-3 in ops/pallas_spmv.py)")
     args = ap.parse_args()
 
     if args.shards:

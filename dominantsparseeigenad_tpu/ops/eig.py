@@ -567,13 +567,6 @@ def _pair_forward(op, opts: EigOptions):
     ql_, bl, resid_l, it_l = _subspace_2(op.rmatvec, n, dtype, kl,
                                          opts.num_iters, ptol)
     resid = jnp.maximum(resid_r, resid_l).astype(real_dtype)
-    info = PowerInfo(
-        iterations=jnp.maximum(it_r, it_l).astype(real_dtype),
-        residual=resid,
-        converged=(resid <= ptol).astype(real_dtype),
-        # The 2-D subspace formulation has no rank-1 collapse to defect-
-        # measure (it represents the pair exactly); report 0.
-        rank1_defect=jnp.zeros((), real_dtype))
     cdtype = _ComplexifiedOperator(op).dtype
     tr = br[0, 0] + br[1, 1]
     det = br[0, 0] * br[1, 1] - br[0, 1] * br[1, 0]
@@ -595,7 +588,27 @@ def _pair_forward(op, opts: EigOptions):
     # Left vector: A^T l = lam l — same eigenvalue of B_l by spectrum
     # symmetry of the real operator; normalized bilinearly l^T r = 1.
     l = _mm(ql_.astype(cdtype), _block_eigvec(bl, lam))
-    l = l / jnp.sum(l * r)
+    # A near-defective pair has l ⟂ r (l^T r -> 0): dividing by the raw
+    # bilinear product would emit inf/NaN vectors while the subspace
+    # residual still reads converged.  Normalize l to unit length first
+    # so |l^T r| IS the left/right cosine (the reciprocal eigenvalue
+    # condition number), floor the divisor, and fold the smallness into
+    # the convergence signal.
+    l = l / jnp.maximum(jnp.linalg.norm(l),
+                        jnp.asarray(jnp.finfo(real_dtype).tiny, real_dtype))
+    s = jnp.sum(l * r)
+    cos_lr = jnp.abs(s).astype(real_dtype)
+    defect_floor = jnp.asarray(100 * jnp.finfo(real_dtype).eps, real_dtype)
+    well_cond = cos_lr >= defect_floor
+    l = l / jnp.where(well_cond, s, jnp.asarray(1.0, cdtype))
+    info = PowerInfo(
+        iterations=jnp.maximum(it_r, it_l).astype(real_dtype),
+        residual=resid,
+        converged=(jnp.logical_and(resid <= ptol, well_cond)
+                   ).astype(real_dtype),
+        # The 2-D subspace formulation has no rank-1 collapse to defect-
+        # measure (it represents the pair exactly); report 0.
+        rank1_defect=jnp.zeros((), real_dtype))
     return lam, l, r, info
 
 
@@ -659,9 +672,8 @@ def dominant_eig_pair(op, num_iters: int = 500, *, tol: float = 1e-10,
     The heavy iteration is all-real (chip-friendly; its f32 convergence
     is asserted on hardware); only the final (n, 2) recombination and
     the IFT tangents are complex, which needs a backend with complex
-    support — this environment's tunneled TPU plugin has NONE (every
-    complex64 op is UNIMPLEMENTED, probed 2026-08-20), so complex
-    OUTPUTS are produced/validated on the CPU backend here.
+    support — on backends without complex-dtype kernels, produce and
+    validate the complex outputs on the CPU backend.
     With ``with_info=True`` also returns a :class:`PowerInfo` for the
     2-D orthogonal iteration (max of the left/right sweeps; a spectrum
     whose 2nd/3rd moduli tie never converges and must be detectable

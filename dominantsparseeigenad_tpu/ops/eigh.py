@@ -176,11 +176,11 @@ def _forward_info(op, extreme: str, opts: EighOptions):
     conv = (resid <= ref_tol).astype(resid.dtype)
     # effective_k = steps actually EXECUTED (the LanczosInfo contract):
     # the restart tier runs one plain k-step cycle plus (k - num_kept)
-    # recurrence steps per restart (restart.py: _cycle continues from
-    # the k//4 retained Ritz vectors).
+    # recurrence steps per restart (restart.py: restart_init retains
+    # num_kept = max(1, k // 4) Ritz vectors).
     steps = float(k)
     if opts.restart_cycles > 0 and extreme in ("min", "max"):
-        steps = float(k + opts.restart_cycles * (k - k // 4))
+        steps = float(k + opts.restart_cycles * (k - max(1, k // 4)))
     info = LanczosInfo(
         effective_k=jnp.asarray(steps, resid.dtype),
         residual=resid, converged=conv)
