@@ -30,6 +30,7 @@ from .tfim import (
     tfim_ground_state,
     fidelity_susceptibility,
     tfim_ed_observables,
+    tfim_observables_sweep,
 )
 
 __all__ = [
@@ -38,7 +39,7 @@ __all__ = [
     "tfim_energy_gap", "tfim2d_operator", "tfim2d_dense_hamiltonian",
     "tfim2d_zz_diagonal",
     "tfim_ground_energy", "tfim_ground_state", "fidelity_susceptibility",
-    "tfim_ed_observables",
+    "tfim_ed_observables", "tfim_observables_sweep",
     "ising_vertex_tensor", "onsager_free_energy", "trg_free_energy",
     "trg_step", "ctmrg_environment", "ctmrg_free_energy",
     "transfer_operator", "transfer_spectral_gap", "correlation_length",

@@ -64,6 +64,12 @@ class EighOptions:
     # Newton step of refine_eigenpair (see _forward).  A string so the
     # frozen dataclass stays hashable/comparable for jit staticness.
     basis_dtype: str | None = None
+    # Breakdown-restart mechanism ("cond"|"carry") — see
+    # lanczos.lanczos.  "carry" is the vmap-friendly choice for batched
+    # sweeps (under vmap both lax.cond branches execute every step,
+    # charging every lane the lazy branch's RNG + full-basis
+    # projection).
+    restart_mode: str = "cond"
     # Optional SPD approximate inverse z = M^{-1} r applied inside the
     # deflated tangent solves (projected to span(V)^perp by cg).  Static
     # aux data: hashed by identity, so pass a stable callable (module
@@ -127,7 +133,8 @@ def _forward(op, extreme: str, opts: EighOptions):
                        reorthogonalize=opts.reorthogonalize,
                        reorth_passes=opts.reorth_passes,
                        reorth_chunks=opts.reorth_chunks,
-                       basis_dtype=opts.basis_dtype)
+                       basis_dtype=opts.basis_dtype,
+                       restart_mode=opts.restart_mode)
     if opts.basis_dtype is None or \
             jnp.dtype(opts.basis_dtype) == jnp.dtype(op.dtype):
         return out
@@ -466,7 +473,7 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
                   restart_cycles: int = 0,
                   early_exit_tol: float | None = None,
                   with_info: bool = False, precond=None,
-                  basis_dtype=None):
+                  basis_dtype=None, restart_mode: str = "cond"):
     """Extremal eigenpair(s) of a symmetric operator, differentiable to all
     orders w.r.t. the operator's pytree parameters.
 
@@ -538,6 +545,11 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
         raise ValueError("basis_dtype is only implemented for the plain "
                          "fixed-k forward (it would be silently ignored "
                          "with restart_cycles/early_exit_tol)")
+    if restart_mode != "cond" and (restart_cycles
+                                   or early_exit_tol is not None):
+        raise ValueError("restart_mode is only implemented for the plain "
+                         "fixed-k forward (it would be silently ignored "
+                         "with restart_cycles/early_exit_tol)")
     opts = EighOptions(k=int(k), tol=float(tol),
                        maxiter=None if maxiter is None else int(maxiter),
                        seed=int(seed), reorthogonalize=bool(reorthogonalize),
@@ -547,7 +559,8 @@ def dominant_eigh(op, k: int = 128, *, extreme: str = "min",
                        early_exit_tol=None if early_exit_tol is None
                        else float(early_exit_tol), precond=precond,
                        basis_dtype=None if basis_dtype is None
-                       else jnp.dtype(basis_dtype).name)
+                       else jnp.dtype(basis_dtype).name,
+                       restart_mode=str(restart_mode))
     if with_info:
         return _dominant_eigh_info(op, extreme, opts)
     return _dominant_eigh(op, extreme, opts)

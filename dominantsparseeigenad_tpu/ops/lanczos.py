@@ -133,8 +133,9 @@ def _project_out(basis, w):
 
 def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
                   basis, q, q_prev, beta_prev, i,
-                  active_rows: int | None = None):
-    """One Lanczos step at index ``i``: returns (basis', q_next, beta, alpha).
+                  active_rows: int | None = None, r_perp=None):
+    """One Lanczos step at index ``i``: returns
+    ``(basis', q_next, beta, alpha, r_perp')``.
 
     Shared by the fixed-k scan (:func:`lanczos`) and the early-exit while
     loop (:func:`lanczos_adaptive`).  ``basis`` is (k+1, N) row-major with
@@ -148,6 +149,17 @@ def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
     step — the exact-projection floor; halving that would need delayed/
     s-step reorthogonalization, a numerics trade this library doesn't
     make).
+
+    ``r_perp`` selects the breakdown-restart mechanism (see
+    :func:`lanczos` ``restart_mode``): ``None`` = the lazy ``lax.cond``
+    branch (RNG + full-basis projection, paid only when a breakdown
+    fires — optimal under plain jit, where the untaken branch costs
+    nothing); an array = the carried pre-orthogonalized restart
+    direction (one dot + axpy per step keeps it in the basis
+    complement — optimal under ``vmap``, where BOTH cond branches
+    execute every step and the lazy branch's per-step RNG + projection
+    was measured at ~0.47 ms/step/lane on the N=20 sweep, ~half the
+    whole per-problem budget).
     """
     n = basis.shape[1]
     # Compute dtype comes from the carried vector, NOT the stored basis —
@@ -179,19 +191,40 @@ def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
     scale = jnp.sqrt(jnp.abs(alpha) ** 2 + beta_prev ** 2) + 1.0
     broke = beta <= _breakdown_rel_tol(real_dtype) * scale
 
-    def restart(_):
-        r = jax.random.normal(jax.random.fold_in(key, i), (n,),
-                              dtype=dtype)
-        r = _project_out(basis, r)
-        return r / (jnp.linalg.norm(r) + jnp.finfo(dtype).tiny)
+    if r_perp is None:
+        def restart(_):
+            r = jax.random.normal(jax.random.fold_in(key, i), (n,),
+                                  dtype=dtype)
+            r = _project_out(basis, r)
+            return r / (jnp.linalg.norm(r) + jnp.finfo(dtype).tiny)
 
-    def advance(_):
-        return w / jnp.where(broke, 1.0, beta)
+        def advance(_):
+            return w / jnp.where(broke, 1.0, beta)
 
-    q_next = lax.cond(broke, restart, advance, None)
+        q_next = lax.cond(broke, restart, advance, None)
+    else:
+        # Carried restart direction: already orthogonal to the basis
+        # (deflated against each appended vector below), so the restart
+        # is a cheap select.  A SECOND breakdown in the same run finds
+        # r_perp consumed (its own deflation zeroed it, leaving only
+        # rounding junk whose direction is correlated with the first
+        # restart) — the threshold below turns that into a clean ZERO
+        # vector, which cascades zero rows/coefficients and is caught
+        # loudly by the caller's true-residual check; use
+        # restart_mode="cond" for operators with multiple
+        # invariant-subspace breakdowns per cycle (effectively tiny
+        # problems where dense eigh is the right tool anyway).
+        rnorm = jnp.linalg.norm(r_perp)
+        alive = rnorm > (jnp.sqrt(jnp.finfo(real_dtype).eps)
+                         * jnp.sqrt(float(n)))
+        restart_vec = jnp.where(alive, 1.0, 0.0) * r_perp / jnp.maximum(
+            rnorm, jnp.asarray(jnp.finfo(real_dtype).tiny, real_dtype))
+        q_next = jnp.where(broke, restart_vec,
+                           w / jnp.where(broke, 1.0, beta))
+        r_perp = r_perp - q_next * hdot(q_next, r_perp)
     beta_out = jnp.where(broke, jnp.zeros_like(beta), beta)
     basis = basis.at[i + 1].set(q_next.astype(basis.dtype))
-    return basis, q_next, beta_out, alpha
+    return basis, q_next, beta_out, alpha, r_perp
 
 
 def lanczos(op, k: int, *, v0: jax.Array | None = None,
@@ -199,7 +232,8 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
             reorthogonalize: bool = True,
             reorth_passes: int = 2,
             reorth_chunks: int = 0,
-            basis_dtype=None) -> LanczosResult:
+            basis_dtype=None,
+            restart_mode: str = "cond") -> LanczosResult:
     """Run k steps of Lanczos on a symmetric operator.
 
     Parameters
@@ -241,6 +275,17 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
           one Newton step of :func:`~.eigh.refine_eigenpair`
           automatically).  Real dtypes only; intended for the large-N
           bandwidth-bound regime.
+    restart_mode : breakdown-restart mechanism.  ``"cond"`` (default)
+          generates + orthogonalizes the restart vector lazily inside a
+          ``lax.cond`` — free until a breakdown fires under plain jit,
+          but under ``vmap`` BOTH branches execute every step, charging
+          every lane the RNG + full-basis projection (measured ~half
+          the per-problem budget on the N=20 chi_F sweep).  ``"carry"``
+          maintains ONE pre-orthogonalized restart direction in the
+          scan carry (a dot + axpy per step) — the vmap-friendly
+          choice, identical results when at most one breakdown occurs
+          per run (a second breakdown cascades zero vectors, flagged by
+          the caller's residual check).
     """
     op = as_operator(op)
     n, dtype = op.dim, op.dtype
@@ -289,16 +334,28 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
     basis0 = jnp.zeros((rows, n), dtype=basis_dtype).at[0].set(
         q0.astype(basis_dtype))
 
+    if restart_mode not in ("cond", "carry"):
+        raise ValueError(f"restart_mode must be 'cond'|'carry', got "
+                         f"{restart_mode!r}")
+    if restart_mode == "carry":
+        r0 = jax.random.normal(jax.random.fold_in(key, 0x5eed), (n,),
+                               dtype=dtype)
+        r_perp0 = r0 - q0 * hdot(q0, r0)
+    else:
+        r_perp0 = None
+
     def make_step(active_rows):
         def step(carry, i):
-            basis, q, q_prev, beta_prev = carry
-            basis, q_next, beta_out, alpha = _lanczos_step(
+            basis, q, q_prev, beta_prev, r_perp = carry
+            basis, q_next, beta_out, alpha, r_perp = _lanczos_step(
                 op, key, reorthogonalize, reorth_passes, real_dtype,
-                basis, q, q_prev, beta_prev, i, active_rows=active_rows)
-            return (basis, q_next, q, beta_out), (alpha, beta_out)
+                basis, q, q_prev, beta_prev, i, active_rows=active_rows,
+                r_perp=r_perp)
+            return (basis, q_next, q, beta_out, r_perp), (alpha, beta_out)
         return step
 
-    carry = (basis0, q0, jnp.zeros_like(q0), jnp.zeros((), dtype=real_dtype))
+    carry = (basis0, q0, jnp.zeros_like(q0),
+             jnp.zeros((), dtype=real_dtype), r_perp0)
     if block:
         # Segmented scan: steps i in [s*block, (s+1)*block) have written
         # rows 0..i < (s+1)*block, so segment s projects against the
@@ -321,7 +378,7 @@ def lanczos(op, k: int, *, v0: jax.Array | None = None,
         alphas = jnp.concatenate(a_parts)
         betas = jnp.concatenate(b_parts)
     else:
-        (basis, _, _, _), (alphas, betas) = lax.scan(
+        (basis, _, _, _, _), (alphas, betas) = lax.scan(
             make_step(active_rows=None), carry, jnp.arange(k))
     # betas are computed in real_dtype for every k > 1; keep the k == 1
     # empty array real too (a complex-dtype empty would silently promote
@@ -337,7 +394,8 @@ def lanczos_eigh(op, k: int, *, extreme: str = "both",
                  reorthogonalize: bool = True,
                  reorth_passes: int = 2,
                  reorth_chunks: int = 0,
-                 basis_dtype=None):
+                 basis_dtype=None,
+                 restart_mode: str = "cond"):
     """Extremal eigenpair(s) of a symmetric operator via k-step Lanczos.
 
     Functional equivalent of the reference's ``symeigLanczos(A, k, extreme,
@@ -362,7 +420,7 @@ def lanczos_eigh(op, k: int, *, extreme: str = "both",
     op = as_operator(op)
     res = lanczos(op, k, v0=v0, key=key, reorthogonalize=reorthogonalize,
                   reorth_passes=reorth_passes, reorth_chunks=reorth_chunks,
-                  basis_dtype=basis_dtype)
+                  basis_dtype=basis_dtype, restart_mode=restart_mode)
     t = _tridiagonal(res.alphas, res.betas)
     evals, evecs = jnp.linalg.eigh(t)
 
@@ -480,7 +538,7 @@ def lanczos_adaptive(op, k: int, *, extreme: str = "min",
                 # Steps in this segment have i < cp, so written rows all
                 # lie in the static slab basis[:cp] — triangular reorth
                 # traffic, same as the segmented fixed-k scan.
-                basis, q_next, beta_out, alpha = _lanczos_step(
+                basis, q_next, beta_out, alpha, _ = _lanczos_step(
                     op, key, reorthogonalize, reorth_passes, real_dtype,
                     basis, q, q_prev, beta_prev, i, active_rows=cp)
                 alphas = alphas.at[i].set(alpha)

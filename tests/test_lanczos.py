@@ -126,3 +126,71 @@ def test_reorth_chunks_rejected_with_other_engines():
         dominant_eigh(op, k=8, reorth_chunks=4, early_exit_tol=1e-6)
     with pytest.raises(ValueError, match="reorth_chunks"):
         dominant_eigh(op, k=8, reorth_chunks=4, restart_cycles=2)
+
+
+def test_restart_mode_carry_matches_cond():
+    """restart_mode='carry' (the vmap-friendly carried restart
+    direction) must (a) equal the 'cond' path bit-for-tolerance when no
+    breakdown occurs, (b) recover the true extremes through a single
+    breakdown, and (c) keep the basis orthonormal in both cases."""
+    # (a) generic matrix, no breakdown.
+    n, k = 50, 30
+    a = random_symmetric(n, jax.random.PRNGKey(5))
+    r_cond = lanczos(DenseOperator(a), k, restart_mode="cond")
+    r_carry = lanczos(DenseOperator(a), k, restart_mode="carry")
+    np.testing.assert_allclose(r_carry.alphas, r_cond.alphas, atol=1e-12)
+    np.testing.assert_allclose(r_carry.betas, r_cond.betas, atol=1e-12)
+    np.testing.assert_allclose(r_carry.basis, r_cond.basis, atol=1e-12)
+
+    # (b) breakdown after 2 steps from a special start (invariant
+    # subspace {e1, e2}); the carried direction must restart cleanly.
+    n, k = 16, 8
+    d = jnp.zeros(n, dtype=jnp.float64).at[0].set(1.0).at[1].set(2.0)
+    a = jnp.diag(d)
+    v0 = jnp.zeros(n, dtype=jnp.float64).at[0].set(1.0)
+    lmin, vmin, lmax, vmax = lanczos_eigh(
+        DenseOperator(a), k, extreme="both", v0=v0,
+        restart_mode="carry")
+    np.testing.assert_allclose(lmax, 2.0, atol=1e-9)
+    np.testing.assert_allclose(lmin, 0.0, atol=1e-9)
+    # (c) basis THROUGH the breakdowns: carry mode handles ONE restart
+    # exactly; later breakdowns cascade clean ZERO rows (never junk).
+    # The Gram matrix must be orthonormal on the written rows and
+    # exactly zero on the rest.
+    res = lanczos(DenseOperator(a), k, v0=v0, restart_mode="carry")
+    q = np.asarray(res.basis)
+    alive = np.linalg.norm(q, axis=0) > 0.5
+    assert alive[:3].all()          # start + first restart survived
+    gram = q.T @ q
+    np.testing.assert_allclose(gram[np.ix_(alive, alive)],
+                               np.eye(int(alive.sum())), atol=1e-10)
+    np.testing.assert_allclose(q[:, ~alive], 0.0, atol=0.0)
+
+
+def test_restart_mode_carry_under_vmap_with_breakdown():
+    """The whole point of 'carry': vmapped lanes — some breaking down,
+    some not — must match their pointwise solves."""
+    n, k = 16, 16  # full Krylov: the generic lane is then exact
+    d = jnp.zeros(n, dtype=jnp.float64).at[0].set(1.0).at[1].set(2.0)
+    a_break = jnp.diag(d)
+    a_generic = random_symmetric(n, jax.random.PRNGKey(9))
+    mats = jnp.stack([a_break, a_generic])
+    v0 = jnp.zeros(n, dtype=jnp.float64).at[0].set(1.0)
+
+    def smallest(a):
+        lam, _ = lanczos_eigh(DenseOperator(a), k, extreme="min", v0=v0,
+                              restart_mode="carry")
+        return lam
+
+    got = jax.vmap(smallest)(mats)
+    want = jnp.stack([smallest(m) for m in mats])
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    np.testing.assert_allclose(
+        got, jnp.stack([jnp.linalg.eigvalsh(m)[0] for m in mats]),
+        atol=1e-8)
+
+
+def test_restart_mode_validation():
+    a = random_symmetric(12, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="restart_mode"):
+        lanczos(DenseOperator(a), 4, restart_mode="bogus")

@@ -137,3 +137,24 @@ def test_small_lattice_pbc_guards():
         tfim2d_operator(2, 3, 1.0)
     with pytest.raises(ValueError, match="double-counts"):
         tfim2d_operator(3, 1, 1.0)
+
+
+def test_observables_sweep_matches_pointwise():
+    """The batched g-sweep (one vmapped program) must reproduce the
+    pointwise E0 / dE0/dg / chi_F results bit-for-tolerance — the sweep
+    exists to amortize device dispatch, not to change the math."""
+    from dominantsparseeigenad_tpu.models import tfim_observables_sweep
+
+    n, k = 8, 60
+    gs = jnp.asarray([0.6, 1.0, 1.35], dtype=jnp.float64)
+    out = jax.jit(lambda z: tfim_observables_sweep(
+        n, z, k=k, tol=1e-12, reorth_chunks=2))(gs)
+    assert out.shape == (3, 3)
+
+    e_fn = lambda gg: tfim_ground_energy(n, gg, k=k, tol=1e-12)
+    for i, g in enumerate(gs):
+        e, de = jax.value_and_grad(e_fn)(g)
+        chi = fidelity_susceptibility(n, g, k=k, tol=1e-12)
+        np.testing.assert_allclose(out[i, 0], e, rtol=1e-10)
+        np.testing.assert_allclose(out[i, 1], de, rtol=1e-8)
+        np.testing.assert_allclose(out[i, 2], chi, rtol=1e-6)
