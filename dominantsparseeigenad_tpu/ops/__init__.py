@@ -20,7 +20,8 @@ from .eigh import (dominant_eigh, dominant_eigh_multi, EighOptions,
 from .lobpcg import lobpcg_eigh, lobpcg_eigh_general, LobpcgInfo
 from .gen import dominant_eigh_gen, EighGenOptions, solve_deflated_pencil
 from .eig import (dominant_eig, dominant_eig_multi, dominant_eig_pair,
-                  dominant_eig_spectrum, EigOptions, PowerInfo)
+                  dominant_eig_spectrum, spectrum_structure, EigOptions,
+                  PowerInfo)
 from .sparse import (COOOperator, CSROperator, BCOOOperator, BellOperator,
                      random_bell_operator)
 from .pallas_spmv import bell_spmm, bell_spmv
@@ -34,6 +35,8 @@ from .slicing import (spectral_slice, spectral_bounds, spectral_density,
                       trace_function, logdet, SliceInfo, SliceOptions)
 from .observables import fidelity_susceptibility, energy_curvature
 from .spectral import spectral_function
+from .precond import (block_jacobi_precond, jacobi_precond,
+                      operator_diagonal)
 
 __all__ = [
     "LinearOperator", "DenseOperator", "MatrixFreeOperator",
@@ -49,7 +52,7 @@ __all__ = [
     "dominant_eigh_gen", "EighGenOptions", "solve_deflated_pencil",
     "dominant_eigh", "dominant_eigh_multi", "refine_eigenpair", "EighOptions",
     "EighMultiOptions", "dominant_eig", "dominant_eig_multi",
-    "dominant_eig_pair", "dominant_eig_spectrum",
+    "dominant_eig_pair", "dominant_eig_spectrum", "spectrum_structure",
     "EigOptions", "PowerInfo",
     "COOOperator", "CSROperator", "BCOOOperator", "BellOperator",
     "random_bell_operator",
@@ -62,4 +65,5 @@ __all__ = [
     "trace_function", "logdet",
     "SliceInfo", "SliceOptions",
     "fidelity_susceptibility", "energy_curvature", "spectral_function",
+    "jacobi_precond", "block_jacobi_precond", "operator_diagonal",
 ]

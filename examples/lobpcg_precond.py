@@ -32,26 +32,11 @@ import sys
 # put the repo root ahead of the script dir on sys.path.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from dominantsparseeigenad_tpu import dominant_eigh_multi, lobpcg_eigh
+from dominantsparseeigenad_tpu import (dominant_eigh_multi, jacobi_precond,
+                                       lobpcg_eigh)
 from dominantsparseeigenad_tpu.models import tfim_operator
 from dominantsparseeigenad_tpu.models.tfim import (tfim_dense_hamiltonian,
                                                    tfim_zz_diagonal)
-
-_DIAG = {}
-
-
-def jacobi_precond(v):
-    """z = r / (H_zz - sigma), vector convention (N,): stable
-    module-level callable (it rides in the jit-static solver config,
-    keyed by identity)."""
-    diag, sigma = _DIAG["diag"], _DIAG["sigma"]
-    return v / (diag - sigma)
-
-
-def jacobi_precond_block(r_blk):
-    """Block convention (N, r) for the direct lobpcg_eigh call."""
-    diag, sigma = _DIAG["diag"], _DIAG["sigma"]
-    return r_blk / (diag - sigma)[:, None]
 
 
 def main():
@@ -66,14 +51,18 @@ def main():
     n, g, r = args.n, args.g, args.r
     op = tfim_operator(n, jnp.float64(g))
 
+    # Library constructor (ops/precond.py): the TFIM operator is
+    # matrix-free, so its analytic diagonal (the zz term) is passed
+    # explicitly; the shift sits below the spectrum (min(H_zz) minus
+    # the field-strength bound).  ONE stable callable serves the block
+    # solver, the tangent solves, and the multi wrapper below.
     diag = tfim_zz_diagonal(n)
-    # Shift below the spectrum: min(H_zz) minus the field strength bound.
-    _DIAG["diag"] = diag
-    _DIAG["sigma"] = float(jnp.min(diag)) - abs(g) * n
+    precond = jacobi_precond(diag=diag,
+                             shift=float(jnp.min(diag)) - abs(g) * n)
 
     lams_p, _, info_p = lobpcg_eigh(op, r, tol=args.tol,
                                     maxiter=args.maxiter,
-                                    precond=jacobi_precond_block,
+                                    precond=precond,
                                     with_info=True)
     lams_0, _, info_0 = lobpcg_eigh(op, r, tol=args.tol,
                                     maxiter=args.maxiter, with_info=True)
@@ -93,7 +82,7 @@ def main():
         opg = tfim_operator(n, gv)
         ls, _ = dominant_eigh_multi(opg, r=2, k=args.maxiter,
                                     method="lobpcg", tol=args.tol,
-                                    precond=jacobi_precond)
+                                    precond=precond)
         return ls[0]
 
     gv = jnp.float64(g)
