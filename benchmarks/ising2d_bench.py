@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CHI = 30
 STEPS = 20
 BETA = 0.5
+METHOD = "trg"
 
 TPU_STAGE_TIMEOUT = 420  # generous: ~15 s compile + tunnel round-trips
 
@@ -46,8 +47,10 @@ def run_ours_stage(platform):
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
-    from dominantsparseeigenad_tpu.models import trg_free_energy
+    from dominantsparseeigenad_tpu.models import (ctmrg_free_energy,
+                                                  trg_free_energy)
 
+    contract = trg_free_energy if METHOD == "trg" else ctmrg_free_energy
     on_tpu = jax.devices()[0].platform != "cpu"
     if platform == "tpu" and not on_tpu:
         # The plugin fell back to the CPU backend: without x64 enabled
@@ -62,7 +65,7 @@ def run_ours_stage(platform):
     def lnz_and_grad(b):
         # Forward-mode: scalar->scalar, and it avoids transposing the
         # scanned flow (see models/ising2d.py on nested custom_jvp rules).
-        f = lambda bb: trg_free_energy(bb, chi=CHI, n_steps=STEPS, dtype=dtype)
+        f = lambda bb: contract(bb, chi=CHI, n_steps=STEPS, dtype=dtype)
         val, d1 = jax.jvp(f, (b,), (jnp.ones_like(b),))
         return jnp.stack([val, d1])
 
@@ -91,7 +94,7 @@ def bench_ours(platform):
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--_stage", "ours", "--platform", p,
+                 "--_stage", "ours", "--platform", p, "--method", METHOD,
                  "--chi", str(CHI), "--steps", str(STEPS)],
                 capture_output=True, text=True, timeout=stage_timeout,
             )
@@ -177,16 +180,22 @@ def main():
     ap.add_argument("--steps", type=int, default=STEPS)
     ap.add_argument("--platform", default="auto",
                     choices=["auto", "tpu", "cpu"])
+    ap.add_argument("--method", default="trg", choices=["trg", "ctmrg"],
+                    help="contraction under test; ctmrg has no torch "
+                         "baseline here (the torch TRG denominator would "
+                         "be apples-to-oranges) and reports ours-only")
     ap.add_argument("--_stage", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
     globals()["CHI"], globals()["STEPS"] = args.chi, args.steps
+    globals()["METHOD"] = args.method
 
     if args._stage == "ours":
         run_ours_stage("cpu" if args.platform == "cpu" else "tpu")
         return
 
     import numpy as np
-    t_ref, lnz_t, g_t = bench_torch()
+    if METHOD == "trg":
+        t_ref, lnz_t, g_t = bench_torch()
     t_ours, lnz_j, g_j, plat = bench_ours(args.platform)
 
     # Onsager oracle (numpy copy of the quadrature).
@@ -198,6 +207,23 @@ def main():
         "i,j,ij->", wq, wq,
         np.log(c2 - s2 * (np.cos(tt)[:, None] + np.cos(tt)[None, :]))
     ) / (8 * np.pi ** 2)
+
+    if METHOD == "ctmrg":
+        # CTMRG mode: ours-only artifact (chip test test_tpu.py::
+        # test_ctmrg_free_energy_on_chip asserts the order-2 path; this
+        # records the wall time against the same Onsager bar).
+        print(f"# ours[{plat}] ctmrg {t_ours:.3f}s (lnZ {lnz_j:.6f}, "
+              f"dlnZ {g_j:.4f})  onsager {exact:.6f}", file=sys.stderr)
+        assert abs(lnz_j - exact) / abs(exact) < 1e-3
+        assert np.isfinite(g_j), "our gradient must be finite"
+        print(json.dumps({
+            "metric": "ising2d_ctmrg_lnz_grad_time",
+            "value": round(t_ours, 4),
+            "unit": "s",
+            "vs_baseline": None,
+            "platform": plat,
+        }))
+        return
 
     print(f"# ours[{plat}] {t_ours:.3f}s (lnZ {lnz_j:.6f}, dlnZ {g_j:.4f})  "
           f"torch {t_ref:.3f}s (lnZ {lnz_t:.6f}, dlnZ {g_t:.4f})  "
