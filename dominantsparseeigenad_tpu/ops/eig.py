@@ -276,25 +276,35 @@ def _bordered_solve(mv, rmv, u, w, b, tol, maxiter, method="bicgstab"):
     matrix with ``u``/``w`` swapped and ``M^T``.  ``method="cgnr"`` falls
     back to CG on the augmented normal equations.
 
-    The border pairings are BILINEAR (``sum(w*x)``, no conjugation), so
-    ``armv`` is the exact transpose of ``amv`` for complex dtypes too —
-    a conjugating border row would make ``custom_linear_solve``'s
-    transpose solve target the wrong matrix and silently corrupt
-    reverse-mode gradients.  (Pathology note: a complex isotropic gauge
-    vector with ``w^T w = 0`` would re-singularize the bordered system;
-    Perron–Frobenius dominant vectors of the intended transfer-matrix
-    applications are never isotropic.)
+    The border VECTORS are conjugated (``conj(u)`` column,
+    ``conj(w)^H``-style row via ``sum(conj(w) * x)``) so the bordered
+    matrix stays nonsingular for COMPLEX eigenvectors too: the
+    complex-pair eigenvectors of a real operator are generically
+    ISOTROPIC (``r = (v1 + i v2)/||.||`` with ``v1 ⊥ v2``,
+    ``||v1|| = ||v2||`` gives ``r^T r = 0`` EXACTLY), so a bilinear
+    border row ``w^T x`` cannot pin the null component and the bordered
+    matrix is singular — the round-5 order-2 replay fuzz caught the
+    resulting ~5%-wrong pair-vector tangents.  Hermitian pairings give
+    ``conj(w)^T w = ||w||^2`` and ``l^T conj(l) = ||l||^2``, both
+    nonzero always.  The MAP ``z -> amv(z)`` is still complex-LINEAR
+    (the conjugated vectors are fixed data, never applied to ``z``), and
+    ``armv`` below is its exact BILINEAR transpose — the
+    ``custom_linear_solve`` transpose contract — because transposing
+    ``[[M, conj(u)], [conj(w)^T, 0]]`` swaps the fixed vectors to
+    ``[[M^T, conj(w)], [conj(u)^T, 0]]``.  For real dtypes every conj
+    is the identity and nothing changes.
     """
     n = b.shape[0]
     zero1 = jnp.zeros((1,), b.dtype)
+    uc, wc = jnp.conj(u), jnp.conj(w)
 
     def amv(z):
         x, nu = z[:n], z[n]
-        return jnp.concatenate([mv(x) + nu * u, jnp.sum(w * x)[None]])
+        return jnp.concatenate([mv(x) + nu * uc, jnp.sum(wc * x)[None]])
 
     def armv(z):
         x, nu = z[:n], z[n]
-        return jnp.concatenate([rmv(x) + nu * w, jnp.sum(u * x)[None]])
+        return jnp.concatenate([rmv(x) + nu * wc, jnp.sum(uc * x)[None]])
 
     if method == "cgnr":
         def _solver(fwd_op, bwd_op):
@@ -363,8 +373,10 @@ def _eig_tangents(op, dop, lam, l, r, opts):
 
     # Right vector: (A-λI) dr = -(dA r - dλ r) =: b_r.  (A-λI) is singular
     # with right null vector r and range complement of l; the bordered
-    # system with border vectors (u=l, w=r) is nonsingular and yields a
-    # particular solution with r^T dr0 = 0.  The PRIMAL's gauge is
+    # system with border vectors (u=l, w=r) — conjugated inside
+    # _bordered_solve, which matters for isotropic complex-pair
+    # vectors — is nonsingular and yields a particular solution with
+    # <r, dr0> = 0.  The PRIMAL's gauge is
     # ||r|| = 1 with the pivot entry real positive — identical for real
     # dtypes (where r^T dr0 = <r, dr0> = 0 already implies both), but a
     # complex primal's tangent must satisfy Re<r, dr> = 0 (norm) and
@@ -379,7 +391,7 @@ def _eig_tangents(op, dop, lam, l, r, opts):
         dr = dr + c_r * r
 
     # Left vector: (A^T-λI) dl0 = -(dA^T l - dλ l) =: b_l, particular
-    # solution with l^T dl0 = 0 (border u=r, w=l); then shift along l to
+    # solution with <l, dl0> = 0 (border u=r, w=l); then shift along l to
     # satisfy d(l^T r) = 0.
     b_l = -(dATl - dlam * l)
     dl0 = _bordered_solve(rmv, mv, r, l, b_l, opts.tol, opts.maxiter,
@@ -883,7 +895,11 @@ def dominant_eig_spectrum(op, m: int = 4, *, num_iters: int = 500,
                                           cur.dtype)
             _, d_l = _arnoldi_ritz_vector(cur.rmatvec, cur.dim, kk, kl,
                                           cur.dtype)
-            if max(float(d_r), float(d_l)) >= 1e-2:
+            # ONE device->host sync per decision (the max is reduced on
+            # device): on a tunneled TPU every separate float() costs a
+            # full ~25 ms round-trip, and discovery pays one per stage,
+            # not a handful (round-4 review weak #3).
+            if float(jnp.maximum(d_r, d_l)) >= 1e-2:
                 kind = "pair"
             else:
                 probe_out = dominant_eig(
@@ -891,9 +907,9 @@ def dominant_eig_spectrum(op, m: int = 4, *, num_iters: int = 500,
                     seed=seed + stage, power_tol=power_tol,
                     solver=solver, method="arnoldi", with_info=True)
                 probe = probe_out[3]
-                kind = ("real" if (float(probe.converged) == 1.0
-                                   and float(probe.rank1_defect) < 1e-2)
-                        else "pair")
+                real_ok = jnp.logical_and(probe.converged == 1.0,
+                                          probe.rank1_defect < 1e-2)
+                kind = "real" if bool(real_ok) else "pair"
         built.append(kind)
         if kind == "real":
             if probe_out is not None:
@@ -952,3 +968,23 @@ def dominant_eig_spectrum(op, m: int = 4, *, num_iters: int = 500,
     # complete pair rather than a dangling half (see docstring).
     return (jnp.stack(lams), jnp.stack(ls, axis=-1),
             jnp.stack(rs, axis=-1), tuple(built))
+
+
+def spectrum_structure(op, m: int = 4, **kwargs) -> tuple:
+    """Discover-once helper for :func:`dominant_eig_spectrum` replays.
+
+    Runs the (eager, host-synced) staging discovery ONCE and returns
+    only the hashable ``structure`` tuple — pass it to
+    ``dominant_eig_spectrum(..., structure=...)`` to get a fixed trace
+    that is jit/grad/jvp-able to arbitrary order and never syncs the
+    host.  The structure depends only on the TYPE layout of the
+    spectrum (real vs conjugate-pair slots in modulus order), so one
+    discovery serves a whole parameter sweep as long as no real
+    eigenvalue collides into a complex pair along the way (cross that
+    boundary and the replay's convergence reports degrade loudly).
+
+    Accepts exactly the keyword arguments of
+    :func:`dominant_eig_spectrum`.
+    """
+    kwargs.pop("structure", None)
+    return dominant_eig_spectrum(op, m, **kwargs)[3]

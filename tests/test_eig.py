@@ -557,3 +557,56 @@ def test_dominant_eig_spectrum_never_splits_a_pair():
     assert lams2.shape == (3,)
     np.testing.assert_allclose(np.asarray(lams2), np.asarray(lams),
                                rtol=1e-9)
+
+
+def test_spectrum_structure_replay_order2_mixed():
+    """Round-4 ask #6: the discover-once helper + a JITTED replay of a
+    MIXED real/pair structure, SECOND-order FD-checked against the
+    dense oracle — the composition the replay exists for (the solver
+    itself is covered above; this is jit + order 2 through the pair IFT
+    rule on a mixed cascade)."""
+    from dominantsparseeigenad_tpu import (dominant_eig_spectrum,
+                                           spectrum_structure)
+
+    n = 32
+    rng = np.random.default_rng(103)
+    blk = np.zeros((n, n))
+    blk[0, 0] = 6.0                                   # real
+    blk[1:3, 1:3] = np.array([[4.0, 3.0], [-3.0, 4.0]])   # pair |.|=5
+    blk[3, 3] = 4.2                                   # real
+    blk[4:, 4:] = np.diag(1.5 * rng.random(n - 4))
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a0 = jnp.asarray(q @ blk @ q.T)
+    da = jnp.asarray(0.1 * rng.standard_normal((n, n)))
+
+    structure = spectrum_structure(a0, m=4, num_iters=800,
+                                   power_tol=1e-13)
+    assert structure == ("real", "pair", "real")
+
+    @jax.jit
+    def d1_d2(t0):
+        def f(t):
+            lams, _, _, _ = dominant_eig_spectrum(
+                a0 + t * da, m=4, num_iters=800, power_tol=1e-13,
+                structure=structure)
+            return jnp.sum(jnp.abs(lams) ** 2)
+
+        def g(t):
+            return jax.jvp(f, (t,), (jnp.ones_like(t),))
+
+        (val, d1), (_, d2) = jax.jvp(g, (t0,), (jnp.ones_like(t0),))
+        return val, d1, d2
+
+    val, d1, d2 = d1_d2(jnp.float64(0.0))
+
+    def oracle(t):
+        w = np.linalg.eigvals(np.asarray(a0) + t * np.asarray(da))
+        w = w[np.argsort(-np.abs(w))][:4]
+        return float(np.sum(np.abs(w) ** 2))
+
+    eps = 1e-4
+    np.testing.assert_allclose(float(val), oracle(0.0), rtol=1e-9)
+    num1 = (oracle(eps) - oracle(-eps)) / (2 * eps)
+    num2 = (oracle(eps) - 2 * oracle(0.0) + oracle(-eps)) / eps ** 2
+    np.testing.assert_allclose(float(d1), num1, rtol=1e-6)
+    np.testing.assert_allclose(float(d2), num2, rtol=1e-3)
