@@ -35,9 +35,27 @@ Communication modes
   and the segment jumps straight between active offsets (one ``ppermute``
   hop of the full stride), so a block-banded matrix with halo structure
   pays exactly its halo width in hops — the moral analogue of ring
-  attention for this workload.  The bucket gather re-reads ``vals`` once
-  per matvec; prefer ``all_gather`` for pure single-vector throughput and
-  ``ring`` when the full vector must never be resident per device.
+  attention for this workload.  The hop contract is exposed
+  (``ring_offsets`` / ``ring_hops``) and asserted down to the compiled
+  HLO's collective-permute count
+  (``test_sharded_sparse.py::test_ring_hop_accounting_banded``).
+
+Decision rule (measured)
+------------------------
+``all_gather`` is the THROUGHPUT default, full stop.  Measured on the
+8-virtual-device mesh (n=2^16, bs=128, f32): block-tridiagonal halo-1 —
+ring 0.62x the all_gather rate despite only 2 hops (the per-offset
+bucket gather re-reads its ``vals`` slice and loses the single fused
+panel kernel); random 17-band — ring 0.91x with 7 hops.  The gather
+moves only N·4 bytes per matvec against ``nnz·4`` bytes of values
+(amortized ``avg_blocks_per_row·bs``-fold), so no band structure makes
+ring win on bandwidth.  ``ring`` is the **memory niche**: per-device
+peak vector residency is N/p instead of N (the full gathered vector),
+which matters only when the vector itself approaches per-device HBM —
+i.e. extreme-scale 2^N state vectors on many chips.  Reach for it then,
+and only then; its SpMM (:meth:`_mm_ring`) shares each offset's bucket
+gather across all r vectors so the niche does not forfeit the block
+tier.
 
 Differentiability
 -----------------
@@ -237,6 +255,36 @@ class RowShardedBellOperator(LinearOperator):
                 preferred_element_type=acc.dtype)
         return acc.reshape(-1)
 
+    def _mm_ring(self, vals_blk, bucket_blks, x_blk):
+        # SpMM over the ring: same offset walk as _mv_ring, but the
+        # bucket gather (the `vals` re-read that dominates the mode's
+        # overhead) happens ONCE per offset and is contracted against
+        # all r vectors in one einsum — the ring analogue of the
+        # all_gather tier's amortized value stream.
+        axis = self.axis
+        p = lax.axis_size(axis)
+        nb_l = vals_blk.shape[0]
+        bs = vals_blk.shape[-1]
+        r = x_blk.shape[-1]
+        acc = jnp.zeros((nb_l, bs, r), x_blk.dtype)
+        seg = x_blk
+        prev = 0
+        for o, (slot_idx, local_col, mask) in zip(self._offsets, bucket_blks):
+            delta = o - prev
+            if delta:
+                perm = [(s, (s - delta) % p) for s in range(p)]
+                seg = lax.ppermute(seg, axis, perm)
+            prev = o
+            rv = jnp.take_along_axis(
+                vals_blk, slot_idx[:, :, None, None], axis=1)
+            rv = rv.astype(acc.dtype) * mask[:, :, None, None]
+            xb = seg.reshape(nb_l, bs, r)
+            acc = acc + jnp.einsum(
+                "ijab,ijbr->iar", rv, xb[local_col],
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=acc.dtype)
+        return acc.reshape(-1, r)
+
     def _rmv(self, vals_blk, cols_blk, x_blk):
         # y = A^T x: local rows scatter into global block-columns, then the
         # partials reduce-scatter back to the row sharding.
@@ -288,14 +336,22 @@ class RowShardedBellOperator(LinearOperator):
     def matmat(self, X):
         """A @ X for an (N, r) row-sharded block — the distributed SpMM
         tier the block solvers ride: each shard's panel runs ONE
-        bell_spmm over the gathered block, so the panel's value stream
-        is amortized over all r vectors exactly like the single-device
-        tier.  (``mode="ring"`` falls back to r matvecs — its bucket
-        gather re-reads vals per vector anyway.)"""
-        if self.mode != "all_gather":
-            return super().matmat(X)
+        bell_spmm over the gathered block (``all_gather``) or one
+        bucket-einsum per active offset over the hopping segment block
+        (``ring``, :meth:`_mm_ring`), so the value stream — panel read
+        or bucket gather — is amortized over all r vectors in both
+        modes."""
         ax = self.axis
         manual = set(self.mesh.axis_names)
+        if self.mode != "all_gather":
+            buckets = tuple(zip(self._slot_idx, self._local_col,
+                                self._mask))
+            spec3 = tuple((P(ax, None),) * 3 for _ in buckets)
+            return shard_map(
+                self._mm_ring, mesh=self.mesh, axis_names=manual,
+                in_specs=(P(ax, None, None, None), spec3, P(ax, None)),
+                out_specs=P(ax, None), check_vma=False)(
+                    self.vals, buckets, X)
         return shard_map(
             self._mm_all_gather, mesh=self.mesh, axis_names=manual,
             in_specs=(P(ax, None, None, None), P(ax, None), P(ax, None)),
@@ -306,6 +362,24 @@ class RowShardedBellOperator(LinearOperator):
         if self.symmetric:
             return self.matmat(X)
         return super().rmatmat(X)
+
+    @property
+    def ring_offsets(self) -> tuple:
+        """Active source-shard offsets of ``mode="ring"`` (static, from
+        the bucketing): offset ``o`` means some stored block reads the
+        segment owned by shard ``(me + o) mod p``.  A halo-banded
+        matrix has exactly its halo's offsets here; a dense-column
+        pattern has all ``p``."""
+        return self._offsets
+
+    @property
+    def ring_hops(self) -> int:
+        """``ppermute`` hops per ring matvec/matmat: one per transition
+        between consecutive active offsets (offset 0 — the local bucket
+        — is free).  This is the traffic contract the tests assert: a
+        halo-width-h banded operator pays exactly its active-offset
+        count, never p-1."""
+        return len([o for o in self._offsets if o != 0])
 
     @property
     def dim(self):
