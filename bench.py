@@ -443,13 +443,16 @@ def run_aux_configs(record: dict) -> None:
         # asserted vs exact Jordan-Wigner inside the script.
         record["scaling_n24_restart_s"] = r.get("value")
         record["scaling_n24_rel_err"] = r.get("vs_baseline")
-    r = _aux_config("restart_bench.py", ("--n", "26", "--repeats", "2"),
-                    timeout=1800)
+    r = _aux_config("restart_bench.py", ("--n", "26", "--k", "20",
+                                         "--cycles", "16", "--repeats",
+                                         "2"), timeout=1800)
     if r:
         # One more decade (round-4 ask #7): N=26 = 67M-dim — the prose
-        # claim promoted to a measured, JW-asserted artifact.  The
-        # (k+1, 2^26) window is ~8.8 GiB; the plain k=60 basis (~16 GiB
-        # in f32 before CG scratch) could not hold this point at all.
+        # claim promoted to a measured, JW-asserted artifact.  k=20
+        # (5.25 GiB window) x16 cycles: the default k=32 window OOMs at
+        # compile (XLA double-buffers the carried basis, 2x8.25 GiB +
+        # vectors > 15.75 GiB HBM), and the plain k=60 basis could not
+        # hold this point at all; measured E0 rel err 4.1e-7 vs JW.
         record["scaling_n26_restart_s"] = r.get("value")
         record["scaling_n26_rel_err"] = r.get("vs_baseline")
 

@@ -127,8 +127,14 @@ def jacobi_precond(op=None, *, diag=None, shift=0.0, floor_rel=None):
     d = jnp.abs(jnp.asarray(diag) - shift)
     if floor_rel is None:
         floor_rel = float(jnp.sqrt(jnp.finfo(d.dtype).eps))
-    inv = 1.0 / jnp.maximum(d, floor_rel * jnp.max(d)
-                            + jnp.finfo(d.dtype).tiny)
+    scale = jnp.max(d)
+    # All-zero shifted diagonal (e.g. a purely off-diagonal operator at
+    # shift 0): there is nothing to precondition with — degrade to the
+    # identity instead of 1/tiny = inf poisoning the solve.
+    inv = jnp.where(scale > 0,
+                    1.0 / jnp.maximum(d, floor_rel * scale
+                                      + jnp.finfo(d.dtype).tiny),
+                    jnp.ones_like(d))
 
     return _apply_columns(lambda r: inv.astype(r.dtype) * r)
 
@@ -179,8 +185,12 @@ def block_jacobi_precond(op=None, *, blocks=None, bs: int | None = None,
     if floor_rel is None:
         floor_rel = float(jnp.sqrt(jnp.finfo(w.dtype).eps))
     aw = jnp.abs(w)
-    inv_w = 1.0 / jnp.maximum(aw, floor_rel * jnp.max(aw)
-                              + jnp.finfo(w.dtype).tiny)
+    scale = jnp.max(aw)
+    # Same all-zero-blocks degradation to identity as jacobi_precond.
+    inv_w = jnp.where(scale > 0,
+                      1.0 / jnp.maximum(aw, floor_rel * scale
+                                        + jnp.finfo(w.dtype).tiny),
+                      jnp.ones_like(aw))
     minv = jnp.einsum("nij,nj,nkj->nik", v, inv_w, v.conj())
 
     def apply_vec(r):

@@ -215,3 +215,16 @@ def test_dominant_eigh_precond_grad_parity():
     num = (np.linalg.eigvalsh(a_np + eps * da_np)[0]
            - np.linalg.eigvalsh(a_np - eps * da_np)[0]) / (2 * eps)
     np.testing.assert_allclose(float(g1), num, rtol=1e-6, atol=1e-8)
+
+
+def test_precond_zero_diagonal_degrades_to_identity():
+    """A purely off-diagonal operator has nothing for Jacobi to use —
+    both constructors must degrade to the identity, not inf/NaN."""
+    n = 8
+    a = jnp.ones((n, n)) - jnp.eye(n)  # zero diagonal
+    r = jnp.arange(1.0, n + 1.0)
+    for m in [jacobi_precond(DenseOperator(a)),
+              block_jacobi_precond(DenseOperator(a * 0.0), bs=4)]:
+        z = np.asarray(m(r))
+        assert np.all(np.isfinite(z))
+        np.testing.assert_allclose(z, np.asarray(r), rtol=1e-12)
