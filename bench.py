@@ -44,6 +44,10 @@ CG_MAXITER = 150
 REPEATS = 3
 SWEEP_POINTS = 8  # chi_F(g) curve points in the batched sweep tier
 SWEEP_G_LO, SWEEP_G_HI = 1.1, 1.45  # off-critical band around G
+SWEEP_REORTH_CHUNKS = 8  # measured: the batched reorth runs ~35% faster
+                         # at C=8 than C=4 (smaller slabs batch better);
+                         # single-shot is C-insensitive (dispatch-bound),
+                         # so the headline keeps the documented C=4
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +126,7 @@ def bench_jax():
     sweep = jax.jit(lambda z: tfim_observables_sweep(
         N_SPINS, z, k=K_LANCZOS, tol=CG_TOL, maxiter=CG_MAXITER,
         dtype=dtype, reorth_passes=REORTH_PASSES,
-        reorth_chunks=REORTH_CHUNKS, basis_dtype=jnp.bfloat16))
+        reorth_chunks=SWEEP_REORTH_CHUNKS, basis_dtype=jnp.bfloat16))
     gs0 = np.linspace(SWEEP_G_LO, SWEEP_G_HI, SWEEP_POINTS)
     outs = np.asarray(sweep(jnp.asarray(gs0, dtype)))  # warmup+compile
     stimes = []

@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--k", type=int, default=100, help="Lanczos steps")
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f64")
     ap.add_argument("--log", type=str, default=None)
+    ap.add_argument("--batched", action="store_true",
+                    help="compute the whole chi_F(g) curve in ONE "
+                         "vmapped dispatch (tfim_observables_sweep) "
+                         "instead of a Python loop — on a remote TPU "
+                         "the per-dispatch host round-trip is paid "
+                         "once per curve instead of once per point")
     args = ap.parse_args()
 
     if args.dtype == "f64":
@@ -63,10 +69,28 @@ def main():
 
     log = JsonlLogger(args.log)
     print(f"# TFIM sparse  N={args.n}  dim={1 << args.n}  "
-          f"backend={jax.default_backend()}  dtype={args.dtype}")
+          f"backend={jax.default_backend()}  dtype={args.dtype}  "
+          f"{'batched' if args.batched else 'pointwise'}")
     print(f"# {'g':>6} {'E0/N':>12} {'dE0/dg':>12} {'chi_F':>12} "
           f"{'err(E0)':>9}")
-    for g in jnp.linspace(args.gmin, args.gmax, args.points):
+    gs = jnp.linspace(args.gmin, args.gmax, args.points)
+    if args.batched:
+        from dominantsparseeigenad_tpu.models import tfim_observables_sweep
+        import numpy as np
+        sweep = jax.jit(lambda z: tfim_observables_sweep(
+            args.n, z, k=args.k, tol=tol, maxiter=400, dtype=dtype))
+        rows = np.asarray(sweep(jnp.asarray(gs, dtype)))
+        for g, (lam, dlam, chi) in zip(np.asarray(gs), rows):
+            exact = float(tfim_exact_e0(args.n, float(g)))
+            print(f"  {float(g):6.3f} {lam/args.n:12.8f} {dlam:12.6f} "
+                  f"{chi:12.6f} {abs(lam-exact)/abs(exact):9.1e}")
+            log.log("tfim_sparse", g=float(g), e0=float(lam),
+                    de0=float(dlam), chi=float(chi))
+        t = timeit(sweep, jnp.asarray(gs, dtype), repeats=3)
+        print(f"# steady-state per point (whole-curve dispatch): "
+              f"{t.best/args.points*1e3:.1f} ms")
+        return
+    for g in gs:
         g = jnp.asarray(g, dtype)
         lam, dlam, chi = (float(x) for x in observables(g))
         exact = float(tfim_exact_e0(args.n, float(g)))

@@ -14,6 +14,8 @@ _ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 _CASES = [
     ("tfim_ed.py", ["--n", "6", "--points", "2"]),
     ("tfim_sparse.py", ["--n", "8", "--points", "2", "--k", "40"]),
+    ("tfim_sparse.py", ["--n", "8", "--points", "3", "--k", "40",
+                        "--batched"]),
     ("heisenberg.py", ["--n", "6", "--points", "3", "--k", "40"]),
     ("spectral.py", ["--n", "6", "--points", "2"]),
     ("ising2d.py", ["--points", "2", "--chi", "8", "--steps", "8"]),
