@@ -67,7 +67,9 @@ def operator_diagonal(op) -> jax.Array:
         d_blocks = _bell_diag_blocks(op)
         return jnp.diagonal(d_blocks, axis1=1, axis2=2).reshape(-1)
     if isinstance(op, ShiftedOperator):
-        return operator_diagonal(op.op) + op.shift
+        # ShiftedOperator is A - shift*I (the resolvent convention of
+        # the IFT backward), NOT A + shift*I.
+        return operator_diagonal(op.op) - op.shift
     if isinstance(op, ScaledOperator):
         return op.c * operator_diagonal(op.op)
     if isinstance(op, SumOperator):
@@ -169,9 +171,8 @@ def block_jacobi_precond(op=None, *, blocks=None, bs: int | None = None,
             if n % bs:
                 raise ValueError(f"dim {n} not divisible by bs={bs}")
             nb = n // bs
-            blocks = op.a.reshape(nb, bs, nb, bs)
-            blocks = jax.vmap(lambda i: blocks[i, :, i, :])(
-                jnp.arange(nb))
+            idx = jnp.arange(nb)
+            blocks = op.a.reshape(nb, bs, nb, bs)[idx, :, idx, :]
         else:
             raise TypeError(
                 f"no structural diagonal blocks for {type(op).__name__};"

@@ -221,46 +221,27 @@ class RowShardedBellOperator(LinearOperator):
         return self._panel_spmv(vals_blk, cols_blk, x_full)
 
     def _mv_ring(self, vals_blk, bucket_blks, x_blk):
-        # Python loop over the (static, usually few) active offsets;
-        # between consecutive active offsets the segment jumps the full
-        # stride in one ppermute.  XLA's async collectives overlap the
-        # hop with the in-hand bucket's einsum.
-        axis = self.axis
-        p = lax.axis_size(axis)
-        nb_l = vals_blk.shape[0]
-        bs = vals_blk.shape[-1]
-        acc = jnp.zeros((nb_l, bs), x_blk.dtype)
-        seg = x_blk
-        prev = 0
-        for o, (slot_idx, local_col, mask) in zip(self._offsets, bucket_blks):
-            delta = o - prev
-            if delta:
-                # Move shard s's segment to device (s - delta) mod p so the
-                # data from source (me + o) mod p lands here.
-                perm = [(s, (s - delta) % p) for s in range(p)]
-                seg = lax.ppermute(seg, axis, perm)
-            prev = o
-            # Differentiable bucket gather from the vals leaf (static
-            # slot permutation; mask zeroes the per-row padding).
-            rv = jnp.take_along_axis(
-                vals_blk, slot_idx[:, :, None, None], axis=1)
-            # Narrow-stored values upcast at the dot (storage-rounding-
-            # only error budget, same as the kernel paths); the segment
-            # stays at compute dtype.
-            rv = rv.astype(acc.dtype) * mask[:, :, None, None]
-            xb = seg.reshape(nb_l, bs)
-            acc = acc + jnp.einsum(
-                "ijab,ijb->ia", rv, xb[local_col],
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=acc.dtype)
-        return acc.reshape(-1)
+        # Single-vector case of the ring SpMM: one source of truth for
+        # the offset walk / ppermute schedule / bucket-gather semantics
+        # (the hop contract is asserted down to the compiled HLO, so it
+        # must not live in two copies that could drift).
+        return self._mm_ring(vals_blk, bucket_blks,
+                             x_blk[:, None]).reshape(-1)
 
     def _mm_ring(self, vals_blk, bucket_blks, x_blk):
-        # SpMM over the ring: same offset walk as _mv_ring, but the
-        # bucket gather (the `vals` re-read that dominates the mode's
-        # overhead) happens ONCE per offset and is contracted against
-        # all r vectors in one einsum — the ring analogue of the
-        # all_gather tier's amortized value stream.
+        # Ring walk over the (static, usually few) active offsets;
+        # between consecutive active offsets the segment jumps the full
+        # stride in one ppermute (shard s's segment moves to device
+        # (s - delta) mod p, so the data from source (me + o) mod p
+        # lands here), and XLA's async collectives overlap the hop with
+        # the in-hand bucket's einsum.  The bucket gather (the `vals`
+        # re-read that dominates the mode's overhead) happens ONCE per
+        # offset and is contracted against all r vectors in one einsum
+        # — the ring analogue of the all_gather tier's amortized value
+        # stream.  The gather is a static differentiable slot
+        # permutation of the vals leaf; mask zeroes the per-row
+        # padding; narrow-stored values upcast at the dot
+        # (storage-rounding-only error budget, same as the kernels).
         axis = self.axis
         p = lax.axis_size(axis)
         nb_l = vals_blk.shape[0]

@@ -64,9 +64,15 @@ def test_operator_diagonal_formats():
                      ("bell", bell)]:
         np.testing.assert_allclose(np.asarray(operator_diagonal(op)),
                                    want, rtol=1e-12, err_msg=name)
+    # ShiftedOperator is A - shift*I; assert against the operator's OWN
+    # matvec on basis vectors, not a hand-derived formula (the round-5
+    # review caught the first version of this test locking in a sign
+    # error instead of catching it).
     shifted = ShiftedOperator(dense, jnp.float64(2.5))
-    np.testing.assert_allclose(np.asarray(operator_diagonal(shifted)),
-                               want + 2.5, rtol=1e-12)
+    got = np.asarray(operator_diagonal(shifted))
+    np.testing.assert_allclose(got, want - 2.5, rtol=1e-12)
+    probe = np.asarray(shifted.matvec(jnp.eye(n, dtype=jnp.float64)[0]))
+    np.testing.assert_allclose(got[0], probe[0], rtol=1e-12)
     scaled = ScaledOperator(dense, jnp.float64(-3.0))
     np.testing.assert_allclose(np.asarray(operator_diagonal(scaled)),
                                -3.0 * want, rtol=1e-12)
