@@ -660,3 +660,144 @@ def test_fuzz_spectral_function():
             / (2 * eps)
         np.testing.assert_allclose(float(g), num, rtol=1e-6, atol=1e-9,
                                    err_msg=f"seed {seed}")
+
+
+def test_fuzz_preconditioners():
+    """Preconditioner constructors over random diagonally-dominated
+    corpora: for every seed the Jacobi-preconditioned CG must converge
+    in no MORE iterations than plain CG (and in fewer whenever the
+    diagonal conditioning is severe), the solution must match
+    numpy.linalg.solve, and the block variant must agree with the
+    Jacobi variant on diagonal-only matrices (where they coincide)."""
+    from dominantsparseeigenad_tpu import (DenseOperator,
+                                           block_jacobi_precond, cg_info,
+                                           jacobi_precond)
+
+    n, bs = 128, 16
+    for seed in range(8):
+        rng = np.random.default_rng(9400 + seed)
+        cond = 10.0 ** rng.uniform(2, 5)
+        d = np.exp(rng.uniform(0, np.log(cond), n))
+        s = rng.standard_normal((n, n)) * rng.uniform(0.01, 0.1)
+        a_np = np.diag(d) + (s + s.T) / 2
+        w = np.linalg.eigvalsh(a_np)
+        if w[0] <= 0.05:
+            a_np += (0.05 - w[0]) * np.eye(n)
+        a = jnp.asarray(a_np)
+        b = jnp.asarray(rng.standard_normal(n))
+        mv = lambda x: a @ x
+        _, it0, _ = cg_info(mv, b, tol=1e-10, maxiter=30 * n)
+        mj = jacobi_precond(DenseOperator(a))
+        x1, it1, res1 = cg_info(mv, b, tol=1e-10, maxiter=30 * n,
+                                precond=mj)
+        assert float(res1) < 1e-8, f"seed {seed}"
+        np.testing.assert_allclose(
+            np.asarray(x1), np.linalg.solve(a_np, np.asarray(b)),
+            rtol=1e-5, atol=1e-7, err_msg=f"seed {seed}")
+        assert int(it1) <= int(it0) + 2, \
+            f"seed {seed}: precond made CG worse ({int(it0)}->{int(it1)})"
+        if cond > 1e3:
+            assert int(it1) * 2 <= int(it0), \
+                f"seed {seed}: cond {cond:.1e} but {int(it0)}->{int(it1)}"
+        # Diagonal-only matrix: block == plain (coincident definitions).
+        dd = jnp.asarray(np.diag(d))
+        mbd = block_jacobi_precond(DenseOperator(dd), bs=bs)
+        mjd = jacobi_precond(DenseOperator(dd))
+        r = jnp.asarray(rng.standard_normal(n))
+        np.testing.assert_allclose(np.asarray(mbd(r)), np.asarray(mjd(r)),
+                                   rtol=1e-10, err_msg=f"seed {seed}")
+
+
+def test_fuzz_trace_function_exp():
+    """Tr exp(A) (non-polynomial f, Jackson OFF — the analytic-function
+    configuration the docstring recommends) over random symmetric
+    corpora vs the exact eigenvalue sum: Chebyshev interpolation of exp
+    converges to round-off at this degree, so the only residual is
+    probe noise, and the estimator's parameter-derivative must match
+    its own FD (fixed key/bounds)."""
+    from dominantsparseeigenad_tpu import trace_function
+
+    n = 48
+    degree, n_probe = 60, 256
+    bounds = (-3.5, 3.5)
+
+    @jax.jit
+    def dtr(a, da, key):
+        return jax.jvp(lambda m: trace_function(
+            m, jnp.exp, degree=degree, n_probe=n_probe, key=key,
+            bounds=bounds, jackson=False), (a,), (da,))
+
+    for seed in range(8):
+        rng = np.random.default_rng(9500 + seed)
+        w = np.sort(rng.uniform(-3.0, 3.0, n))
+        a_np = _spectrum_matrix(rng, w)
+        key = jax.random.PRNGKey(200 + seed)
+        tr = float(trace_function(jnp.asarray(a_np), jnp.exp,
+                                  degree=degree, n_probe=n_probe,
+                                  key=key, bounds=bounds, jackson=False))
+        ref = float(np.sum(np.exp(w)))
+        assert abs(tr - ref) / abs(ref) < 0.08, \
+            f"seed {seed}: {tr} vs {ref}"
+        da_np = rng.standard_normal((n, n))
+        da_np = (da_np + da_np.T) / 8
+        _, g = dtr(jnp.asarray(a_np), jnp.asarray(da_np), key)
+        eps = 1e-5
+
+        def est(mat):
+            return float(trace_function(jnp.asarray(mat), jnp.exp,
+                                        degree=degree, n_probe=n_probe,
+                                        key=key, bounds=bounds,
+                                        jackson=False))
+
+        num = (est(a_np + eps * da_np) - est(a_np - eps * da_np)) \
+            / (2 * eps)
+        np.testing.assert_allclose(float(g), num, rtol=1e-4, atol=1e-6,
+                                   err_msg=f"seed {seed}")
+
+
+def test_fuzz_spectral_slice_format_parity():
+    """spectral_slice through DIFFERENT operator backings (dense array,
+    CSR, matrix-free closure) must give identical inside eigenvalues —
+    the slice tier composes with the format tier through the operator
+    protocol, and the formats must not perturb the filtered solve."""
+    from dominantsparseeigenad_tpu import spectral_slice
+
+    n, r = 48, 3
+    a_edge, b_edge = -0.5, 0.5
+    for seed in range(6):
+        rng = np.random.default_rng(9600 + seed)
+        m = 1 + seed % 3
+        inside = np.linspace(-0.35, 0.35, m) + rng.uniform(-0.03, 0.03, m)
+        outside = np.concatenate([
+            rng.uniform(-4, -0.62, (n - m) // 2),
+            rng.uniform(0.62, 4, n - m - (n - m) // 2)])
+        w = np.sort(np.concatenate([inside, outside]))
+        a_np = _spectrum_matrix(rng, w)
+        a_np *= (np.abs(a_np) > 1e-3) | np.eye(n, dtype=bool)  # sparsify
+        w_true = np.linalg.eigvalsh(a_np)
+        want = w_true[(w_true >= a_edge) & (w_true <= b_edge)]
+
+        import scipy.sparse as sp
+        csr_np = sp.csr_matrix(a_np)
+        csr = CSROperator(jnp.asarray(csr_np.indptr, jnp.int32),
+                          jnp.asarray(csr_np.indices, jnp.int32),
+                          jnp.asarray(csr_np.data), n)
+        aj = jnp.asarray(a_np)
+        mf = MatrixFreeOperator(lambda p, x: p @ x, aj, dim=n,
+                                dtype=aj.dtype)
+        results = {}
+        for name, op in [("dense", aj), ("csr", csr), ("mf", mf)]:
+            lams, _, info = spectral_slice(op, a_edge, b_edge, r=r,
+                                           degree=90, maxiter=200,
+                                           tol=1e-9)
+            lams = np.asarray(lams)
+            got = np.sort(lams[(lams >= a_edge) & (lams <= b_edge)])
+            assert int(info.n_inside) == len(want), \
+                f"{name} seed {seed}: {int(info.n_inside)} != {len(want)}"
+            np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-9,
+                                       err_msg=f"{name} seed {seed}")
+            results[name] = got
+        np.testing.assert_allclose(results["csr"], results["dense"],
+                                   rtol=1e-10)
+        np.testing.assert_allclose(results["mf"], results["dense"],
+                                   rtol=1e-10)
