@@ -113,7 +113,8 @@ def cg_info(matvec: Callable, b: jax.Array, *,
 
 
 def minres(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
-           tol: float = 1e-7, maxiter: int | None = None) -> jax.Array:
+           tol: float = 1e-7, maxiter: int | None = None,
+           precond: Callable | None = None) -> jax.Array:
     """MINRES for a symmetric (possibly **indefinite**) operator.
 
     Paige–Saunders: Lanczos recurrence + Givens-rotation QR of the
@@ -121,19 +122,35 @@ def minres(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
     CG when the deflated restriction is definite (extremal eigenpairs);
     MINRES covers the indefinite cases (interior/shifted systems) the
     reference's CG-only backward cannot (SURVEY.md §7 design stance 2).
+
+    ``precond`` is an SPD approximate-inverse application ``y = M^{-1} r``
+    (the operator itself may stay indefinite): the standard
+    preconditioned variant runs the Lanczos recurrence on the
+    ``M^{-1}``-preconditioned residuals with ``beta = sqrt(r^H M^{-1} r)``
+    and minimizes the residual in the ``M^{-1}`` norm — algebraically
+    equivalent to MINRES on ``M^{-1/2} A M^{-1/2}``.  ``M^{-1}`` must be
+    SPD (an indefinite preconditioner breaks ``sqrt(r^H M^{-1} r)``);
+    the :mod:`~.precond` constructors are SPD by construction, including
+    under indefinite shifts.  With ``precond=None`` this is EXACTLY the
+    unpreconditioned recurrence (``M = I``).
     """
     if maxiter is None:
         maxiter = 10 * b.shape[-1]
+    M = (lambda r: r) if precond is None else precond
     x0 = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x0)
-    beta1 = jnp.linalg.norm(r)
+    yv = M(r)
+    beta1 = jnp.sqrt(jnp.maximum(jnp.real(hdot(r, yv)), 0.0))
     tol = tol_floor(tol, b.dtype)   # dtype-reachable target
-    target = tol * jnp.linalg.norm(b)
+    # Convergence in the M^{-1} norm phibar tracks; for M = I and
+    # x0 = 0 this is the historical tol * ||b|| target exactly.
+    target = tol * (jnp.linalg.norm(b) if precond is None else beta1)
     zero = jnp.zeros_like(beta1)
 
-    # Carry: x, r1, r2 (scaled Lanczos vecs), w, w2 (update dirs),
-    #        oldb, beta, dbar, epsln, cs, sn, phibar, it
-    state0 = (x0, r, r, jnp.zeros_like(b), jnp.zeros_like(b),
+    # Carry: x, r1, r2 (scaled Lanczos vecs), yv = M^{-1} r2,
+    #        w, w2 (update dirs), oldb, beta, dbar, epsln, cs, sn,
+    #        phibar, it
+    state0 = (x0, r, r, yv, jnp.zeros_like(b), jnp.zeros_like(b),
               zero, beta1, zero, zero, -jnp.ones_like(beta1), zero,
               beta1, jnp.zeros((), jnp.int32))
 
@@ -142,9 +159,9 @@ def minres(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
         return jnp.logical_and(phibar > target, it < maxiter)
 
     def body(s):
-        (x, r1, r2, w, w2, oldb, beta, dbar, epsln, cs, sn, phibar,
+        (x, r1, r2, yv, w, w2, oldb, beta, dbar, epsln, cs, sn, phibar,
          it) = s
-        v = r2 / beta
+        v = yv / beta
         y = matvec(v)
         y = y - jnp.where(it >= 1, beta / jnp.where(oldb == 0, 1.0, oldb),
                           0.0) * r1
@@ -153,7 +170,9 @@ def minres(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
         alfa = jnp.real(hdot(v, y))
         y = y - (alfa / beta) * r2
         r1, r2 = r2, y
-        oldb, beta_new = beta, jnp.linalg.norm(y)
+        yv = M(y)
+        oldb = beta
+        beta_new = jnp.sqrt(jnp.maximum(jnp.real(hdot(y, yv)), 0.0))
 
         oldeps = epsln
         delta = cs * dbar + sn * alfa
@@ -170,8 +189,8 @@ def minres(matvec: Callable, b: jax.Array, *, x0: jax.Array | None = None,
         w1, w2_new = w2, w
         w_new = (v - oldeps * w1 - delta * w2_new) / gamma
         x = x + phi * w_new
-        return (x, r1, r2, w_new, w2_new, oldb, beta_new, dbar, epsln,
-                cs, sn, phibar, it + 1)
+        return (x, r1, r2, yv, w_new, w2_new, oldb, beta_new, dbar,
+                epsln, cs, sn, phibar, it + 1)
 
     out = lax.while_loop(cond, body, state0)
     return out[0]
@@ -386,11 +405,6 @@ def solve_deflated(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
     """
     if method not in ("cg", "minres"):
         raise ValueError(f"method must be cg|minres, got {method!r}")
-    if precond is not None and method != "cg":
-        # Loud, not silent: MINRES here has no preconditioned variant,
-        # and dropping the hook would leave the caller believing the
-        # preconditioner is active.
-        raise ValueError("precond is only supported with method='cg'")
     op = as_operator(op)
     if method == "minres":
         definite_sign = 1.0
@@ -401,13 +415,18 @@ def solve_deflated(op, lam: jax.Array, V: jax.Array, b: jax.Array, *,
         y = op.matvec(px) - lam * px
         return sign * _project_out(V, y)
 
-    if precond is not None and method == "cg":
+    if precond is not None:
         # Project the preconditioner so it maps V-perp to V-perp (the
-        # standard deflated-PCG sandwich P M P).
+        # standard deflated sandwich P M P) — for BOTH solvers: the
+        # projected M is PSD with null space exactly span(V), which the
+        # deflated recurrences never touch, so CG's and preconditioned
+        # MINRES's SPD-on-the-working-subspace contracts hold.
+        base = cg if method == "cg" else minres
+
         def inner(mv, r, **kw):
-            return cg(mv, r,
-                      precond=lambda rr: _project_out(V, precond(rr)),
-                      **kw)
+            return base(mv, r,
+                        precond=lambda rr: _project_out(V, precond(rr)),
+                        **kw)
     else:
         inner = cg if method == "cg" else minres
 

@@ -845,11 +845,13 @@ def dominant_eig_spectrum(op, m: int = 4, *, num_iters: int = 500,
 
     Staging is data-dependent: with ``structure=None`` the shape of the
     cascade is decided from CONCRETE eigenvalues, so the first call
-    must run eagerly (outside jit/grad).  For derivatives, take the
-    returned ``structure`` tuple (``"real"``/``"pair"``/``"pair_real"``
-    per stage) and pass it back — the cascade is then a fixed trace,
-    jit/grad/jvp-able to arbitrary order through the pair IFT rule,
-    with each stage replayed by the SAME solver that produced it.
+    must run eagerly (outside jit/grad).  For derivatives, discover the
+    ``structure`` tuple (``"real"``/``"pair"``/``"pair_real"`` per
+    stage) ONCE — :func:`spectrum_structure` is the one-call helper —
+    and pass it back: the cascade is then a fixed trace, jit/grad/
+    jvp-able to arbitrary order through the pair IFT rule (order-2
+    FD-checked for mixed structures in ``test_eig.py``), with each
+    stage replayed by the SAME solver that produced it.
 
     Returns ``(lams, ls, rs, structure)``: ``lams`` complex sorted by
     descending |λ| (conjugate members adjacent), ``ls``/``rs`` complex

@@ -37,6 +37,11 @@ class InteriorOptions:
     tol: float = 1e-8
     maxiter: int | None = None
     seed: int = 0
+    # Optional SPD approximate inverse of (A - sigma) applied inside the
+    # inner shift-invert MINRES solves AND the derivative's deflated
+    # MINRES (e.g. ``jacobi_precond(diag=..., shift=sigma)``).  Static
+    # aux data hashed by identity — pass a stable callable.
+    precond: object = None
 
 
 def _forward(op, opts: InteriorOptions):
@@ -44,7 +49,8 @@ def _forward(op, opts: InteriorOptions):
 
     def inv_matvec(inner_op, x):
         return minres(lambda y: inner_op.matvec(y) - sigma * y, x,
-                      tol=opts.inner_tol, maxiter=opts.inner_maxiter)
+                      tol=opts.inner_tol, maxiter=opts.inner_maxiter,
+                      precond=opts.precond)
 
     inv_op = MatrixFreeOperator(inv_matvec, op, dim=op.dim, dtype=op.dtype)
     key = jax.random.PRNGKey(opts.seed)
@@ -75,7 +81,7 @@ def _interior_eigh_jvp(opts, primals, tangents):
         dlam = jnp.real(dlam)
     rhs = -(dAv - dlam * v)
     dv = solve_deflated(op, lam, v, rhs, method="minres", tol=opts.tol,
-                        maxiter=opts.maxiter)
+                        maxiter=opts.maxiter, precond=opts.precond)
     # Complex phase-gauge correction (same rule as every other
     # eigenvector tangent in the package — this was the one JVP that
     # missed it when the fix landed, leaving phase-sensitive gradients
@@ -88,11 +94,16 @@ def _interior_eigh_jvp(opts, primals, tangents):
 def interior_eigh(op, sigma: float, k: int = 64, *,
                   inner_tol: float = 1e-10, inner_maxiter: int = 1000,
                   tol: float = 1e-8, maxiter: int | None = None,
-                  seed: int = 0):
+                  seed: int = 0, precond=None):
     """Eigenpair of a symmetric operator closest to ``sigma``.
 
     Differentiable to arbitrary order w.r.t. the operator's pytree leaves.
-    ``sigma`` is an algorithmic (static) parameter.
+    ``sigma`` is an algorithmic (static) parameter.  ``precond`` is an
+    optional SPD approximate inverse of ``A - sigma`` applied inside the
+    inner shift-invert MINRES solves and the derivative solves —
+    ``jacobi_precond(diag=..., shift=sigma)`` is the natural choice for
+    diagonally dominated operators (pass a STABLE callable; it rides in
+    the jit-static config keyed by identity).
 
     Returns ``(lam, v)``.
     """
@@ -100,5 +111,6 @@ def interior_eigh(op, sigma: float, k: int = 64, *,
     opts = InteriorOptions(
         sigma=float(sigma), k=int(k), inner_tol=float(inner_tol),
         inner_maxiter=int(inner_maxiter), tol=float(tol),
-        maxiter=None if maxiter is None else int(maxiter), seed=int(seed))
+        maxiter=None if maxiter is None else int(maxiter), seed=int(seed),
+        precond=precond)
     return _interior_eigh(op, opts)
