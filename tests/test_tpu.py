@@ -81,6 +81,29 @@ def test_pallas_spmm_on_chip():
     assert rel < 1e-5, f"spmm-vs-spmv rel {rel:.2e}"
 
 
+def test_batched_sweep_tier_on_chip():
+    """The chi_F(g)-curve sweep tier on the live chip: one vmapped
+    dispatch over 4 couplings (carry-mode restarts — the vmap-friendly
+    breakdown mechanism), every point's E0/dE0 asserted against exact
+    Jordan-Wigner at the headline bars."""
+    from dominantsparseeigenad_tpu.models import tfim_observables_sweep
+
+    n = 14
+    gs = np.linspace(1.1, 1.4, 4)
+    out = np.asarray(jax.jit(lambda z: tfim_observables_sweep(
+        n, z, k=50, tol=1e-5, maxiter=150, dtype=jnp.float32,
+        reorth_passes=1, reorth_chunks=8,
+        basis_dtype=jnp.bfloat16))(jnp.asarray(gs, jnp.float32)))
+    eps = 1e-6
+    for g, (e0, de0, chi) in zip(gs, out):
+        e_ex = _jw_e0(n, float(g))
+        de_ex = (_jw_e0(n, float(g) + eps)
+                 - _jw_e0(n, float(g) - eps)) / (2 * eps)
+        assert abs(e0 - e_ex) / abs(e_ex) < 2e-5, g
+        assert abs(de0 - de_ex) / abs(de_ex) < 1e-3, g
+        assert np.isfinite(chi) and chi > 0, (g, chi)
+
+
 def test_f32_dominant_eigh_and_jvp_tfim_n14():
     """f32 eigenpair + dE0/dg on the chip vs the exact JW oracle."""
     from dominantsparseeigenad_tpu import dominant_eigh
