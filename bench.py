@@ -358,24 +358,36 @@ def run_jax_staged(max_tries: int = 3, stage_timeout: int = 900):
         "during the probe schedule)")
 
 
-def _aux_config(script: str, extra_args=(), timeout: int = 1200):
+def _aux_config(script: str, extra_args=(), timeout: int = 1200,
+                tries: int = 2):
     """Run one of the per-config benchmark scripts in a subprocess and
     return its JSON result dict (None on any failure — an aux config must
-    never take down the headline)."""
+    never take down the headline).  One retry after a cool-down: the
+    tunneled device wedges transiently (observed: the SpMM stage timed
+    out once mid-artifact and reproduced clean minutes later), and a
+    dropped field forfeits that tier's evidence for the whole round."""
     import subprocess
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "benchmarks", script)
-    try:
-        proc = subprocess.run(
-            [sys.executable, path, *extra_args], timeout=timeout,
-            capture_output=True, text=True, env=dict(os.environ))
-        for line in reversed(proc.stdout.strip().splitlines()):
-            if line.startswith("{"):
-                return json.loads(line)
-        print(f"# aux {script}: no JSON line ({proc.stderr[-300:]})",
-              file=sys.stderr)
-    except Exception as exc:
-        print(f"# aux {script} failed: {exc}", file=sys.stderr)
+    for attempt in range(tries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, path, *extra_args], timeout=timeout,
+                capture_output=True, text=True, env=dict(os.environ))
+            got = None
+            for line in reversed(proc.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    got = json.loads(line)
+                    break
+            if got is not None:
+                return got
+            print(f"# aux {script}: no JSON line ({proc.stderr[-300:]})",
+                  file=sys.stderr)
+        except Exception as exc:
+            print(f"# aux {script} failed (attempt {attempt + 1}): {exc}",
+                  file=sys.stderr)
+        if attempt < tries - 1:
+            time.sleep(120)
     return None
 
 
