@@ -40,6 +40,15 @@ def main():
                     help="thick-restart cycles")
     ap.add_argument("--g", type=float, default=1.2)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--stepped", action="store_true",
+                    help="drive the restart cycles from Python with "
+                         "donated state (restart_init/restart_cycle/"
+                         "restart_extract) instead of one fused scan: "
+                         "peak HBM is ONE cycle window instead of the "
+                         "fused program's double-buffered basis, which "
+                         "unlocks the next size decade; dE0/dg comes "
+                         "from the Hellmann-Feynman contraction "
+                         "<v|dH/dg|v> (identical to the IFT dlam)")
     args = ap.parse_args()
 
     from dominantsparseeigenad_tpu import dominant_eigh
@@ -52,14 +61,43 @@ def main():
           f"window k={args.k} ({basis_gib:.2f} GiB basis) "
           f"cycles={args.cycles}", file=sys.stderr)
 
-    def e0(g):
-        op = tfim_operator(args.n, g, dtype=dtype)
-        lam, _ = dominant_eigh(op, k=args.k, extreme="min",
-                               restart_cycles=args.cycles,
-                               reorth_passes=1)
-        return lam
+    if args.stepped:
+        import functools
+        from dominantsparseeigenad_tpu import (restart_cycle, restart_init,
+                                               restart_extract)
+        from dominantsparseeigenad_tpu.models.tfim import flip_sum
 
-    f = jax.jit(jax.value_and_grad(e0))
+        init = jax.jit(lambda g: restart_init(
+            tfim_operator(args.n, g, dtype=dtype), k=args.k,
+            extreme="min", reorth_passes=1))
+        # Donate the incoming state: the out-state aliases it, so the
+        # persistent footprint between cycles is ONE RestartState.
+        cyc = jax.jit(functools.partial(
+            lambda st, g: restart_cycle(
+                tfim_operator(args.n, g, dtype=dtype), st, args.k,
+                extreme="min", reorth_passes=1)), donate_argnums=(0,))
+
+        @jax.jit
+        def fin(st, g):
+            lam, v, _ = restart_extract(st)
+            # Hellmann-Feynman: dE0/dg = <v| dH/dg |v> = -<v|sum_i X_i|v>
+            dlam = -jnp.vdot(v, flip_sum(v, args.n))
+            return jnp.stack([lam, jnp.real(dlam)])
+
+        def f(g):
+            st = init(g)
+            for _ in range(args.cycles):
+                st, _ = cyc(st, g)
+            return fin(st, g)
+    else:
+        def e0(g):
+            op = tfim_operator(args.n, g, dtype=dtype)
+            lam, _ = dominant_eigh(op, k=args.k, extreme="min",
+                                   restart_cycles=args.cycles,
+                                   reorth_passes=1)
+            return lam
+
+        f = jax.jit(jax.value_and_grad(e0))
 
     # Warmup (compile) + accuracy gate vs the exact Jordan-Wigner oracle.
     out = np.asarray(jnp.stack(f(jnp.asarray(args.g, dtype))))
@@ -84,7 +122,9 @@ def main():
     t = min(times)
     print(f"# time {t:.3f}s (min of {args.repeats})", file=sys.stderr)
     print(json.dumps({
-        "metric": f"tfim_n{args.n}_restart_eigenpair_grad_time",
+        "metric": f"tfim_n{args.n}_restart"
+                  f"{'_stepped' if args.stepped else ''}"
+                  "_eigenpair_grad_time",
         "value": round(t, 4),
         "unit": "s",
         "vs_baseline": round(rel, 8),  # accuracy vs exact JW (no torch

@@ -163,7 +163,12 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
              else k - 1 - jnp.arange(l + 1))
     theta = evals[order]
     sel = evecs[:, order]                                     # (k, l+1)
-    y = _mm(basis[:k].T, sel.astype(dtype)).T                 # (l+1, N)
+    # Contract against the ROW-MAJOR basis buffer: (l+1, k) @ (k, N).
+    # The transposed form _mm(basis[:k].T, sel).T forced XLA to
+    # MATERIALIZE an (N, k) copy of the window — at N = 2^27 that one
+    # layout copy was 8 GiB, half the chip (found pushing the restart
+    # tier to the 134M-dim decade).
+    y = _mm(sel.T.astype(dtype), basis[:k])                   # (l+1, N)
     s = (beta_last * sel[k - 1, :]).astype(real_dtype)
     return RestartState(theta=theta, y=y, s=s, q=basis[k])
 
@@ -201,6 +206,11 @@ def restart_init(op, k: int = 64, *, num_kept: int | None = None,
                          + (f" (k clamped to op.dim={n})" if k < 4 else ""))
 
     res = lanczos(op, k, v0=v0, key=key, reorth_passes=reorth_passes)
+    # Work on the ROW-MAJOR (k, N) buffer: ``res.basis`` is its (N, k)
+    # transposed VIEW, and using that view as a GEMM operand made XLA
+    # materialize a full layout copy (8 GiB at N = 2^27); the double
+    # transpose below folds away, so ``rows`` IS the scan buffer.
+    rows = res.basis.T                                    # (k, N)
     t = jnp.diag(res.alphas)
     if res.betas.shape[0]:
         t = t + jnp.diag(res.betas, 1) + jnp.diag(res.betas, -1)
@@ -208,17 +218,17 @@ def restart_init(op, k: int = 64, *, num_kept: int | None = None,
     order = (jnp.arange(l) if extreme == "min" else k - 1 - jnp.arange(l))
     theta = evals[order]
     sel = evecs[:, order]
-    y = (_mm(res.basis, sel.astype(dtype))).T
+    y = _mm(sel.T.astype(dtype), rows)                    # (l, N)
     # The restart couplings s_i = beta_k <e_k, y_i> refer to the TRUE
     # continuation vector q_{k+1} of the Lanczos recurrence — reconstruct
     # it with one extra matvec (LanczosResult keeps only k vectors):
     #   w = A q_k - alpha_k q_k - beta_{k-1} q_{k-1};  q_{k+1} = w/||w||.
-    qk = res.basis[:, -1]
+    qk = rows[-1]
     w = op.matvec(qk) - (res.alphas[-1] * qk).astype(dtype)
     if res.betas.shape[0]:
-        w = w - res.betas[-1] * res.basis[:, -2]
-    w = w - _mm(res.basis, _mm(res.basis.conj().T, w))
-    w = w - _mm(res.basis, _mm(res.basis.conj().T, w))
+        w = w - res.betas[-1] * rows[-2]
+    w = w - _mm(rows.T, _mm(rows.conj(), w))
+    w = w - _mm(rows.T, _mm(rows.conj(), w))
     real_dtype = jnp.finfo(dtype).dtype
     beta_last = jnp.linalg.norm(w).astype(real_dtype)
     # Breakdown-safe continuation (same hazard as _cycle: normalizing a
@@ -234,8 +244,8 @@ def restart_init(op, k: int = 64, *, num_kept: int | None = None,
                                  + jnp.abs(last_beta) + 1.0)
     r = jax.random.normal(jax.random.PRNGKey(0x5452), (n,), dtype=dtype)
     r = r / jnp.linalg.norm(r)
-    r = r - _mm(res.basis, _mm(res.basis.conj().T, r))
-    r = r - _mm(res.basis, _mm(res.basis.conj().T, r))
+    r = r - _mm(rows.T, _mm(rows.conj(), r))
+    r = r - _mm(rows.T, _mm(rows.conj(), r))
     rn = jnp.linalg.norm(r).astype(real_dtype)
     exhausted = rn <= jnp.sqrt(jnp.asarray(float(n), real_dtype)) * rtol
     dead = jnp.logical_and(broke, exhausted)

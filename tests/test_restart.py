@@ -104,3 +104,37 @@ def test_restart_tiny_operator_retains_a_ritz_vector():
     import pytest
     with pytest.raises(ValueError, match="num_kept >= 1"):
         restart_init(a, k=3, num_kept=0)
+
+
+def test_stepped_driver_with_donation_matches_fused():
+    """The cycle-stepped Python driver — jitted restart_cycle with the
+    incoming state DONATED, exactly how benchmarks/restart_bench.py
+    --stepped drives the 134M-dim N=27 point — must reproduce the fused
+    lanczos_restarted result."""
+    import functools
+    from dominantsparseeigenad_tpu import (DenseOperator, lanczos_restarted,
+                                           restart_cycle, restart_extract,
+                                           restart_init)
+
+    n, k, cycles = 200, 16, 6
+    rng = np.random.default_rng(33)
+    a_np = rng.standard_normal((n, n))
+    a_np = (a_np + a_np.T) / 2
+    op = DenseOperator(jnp.asarray(a_np))
+
+    lam_f, v_f, res_f = lanczos_restarted(op, k, n_restarts=cycles)
+
+    init = jax.jit(lambda: restart_init(op, k=k, extreme="min"))
+    cyc = jax.jit(functools.partial(restart_cycle, op, k=k,
+                                    extreme="min"),
+                  donate_argnums=(0,))
+    st = init()
+    for _ in range(cycles):
+        st, _ = cyc(st)
+    lam_s, v_s, res_s = restart_extract(st)
+
+    np.testing.assert_allclose(float(lam_s), float(lam_f), rtol=1e-12)
+    np.testing.assert_allclose(float(lam_s),
+                               np.linalg.eigvalsh(a_np)[0], rtol=1e-9)
+    np.testing.assert_allclose(np.abs(np.asarray(v_s)),
+                               np.abs(np.asarray(v_f)), atol=1e-9)
