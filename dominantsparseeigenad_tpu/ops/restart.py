@@ -313,6 +313,16 @@ def lanczos_restarted(op, k: int = 64, *, n_restarts: int = 8,
     cycle driving, use :func:`restart_init` / :func:`restart_cycle` /
     :func:`restart_extract` — this function is the same loop fused under
     ``lax.scan``.
+
+    .. note:: **TPU memory at extreme N.**  Pick ``k + 1`` a multiple
+       of 8: the window's (k+1, N) buffer is tiled T(8, 128), so a
+       17-row window allocates 24 rows (1.4×, +3.5 GiB at N = 2^27).
+       And when one cycle's window is most of HBM, drive the cycles
+       from Python with the state donated between jitted calls
+       (``jax.jit(partial(restart_cycle, op, k=k), donate_argnums=(0,))``
+       — see ``benchmarks/restart_bench.py --stepped``, which runs the
+       134M-dim TFIM point on a 16 GiB chip this way) instead of this
+       fused scan, whose carried window XLA double-buffers.
     """
     op = as_operator(op)
     k = int(min(k, op.dim))
