@@ -82,21 +82,38 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
     dead0 = jnp.linalg.norm(state.q) < 0.5
 
     def continuation(basis_rows, w, b, scale, dead_in, j):
-        """(q_next, beta_out, row_dead, dead_out) after step ``j``."""
+        """(q_next, beta_out, row_dead, dead_out) after step ``j``.
+
+        The restart path (fresh RNG vector + TWO full-slab projections)
+        sits under ``lax.cond`` so the common no-breakdown step never
+        pays it — it used to run UNCONDITIONALLY every step, and at
+        N = 2^27 those two extra slab passes were ~2/3 of the whole
+        restart-tier wall time (round-5 profiling: 120 ms/step, of
+        which the matvec was 14 and the genuine reorth ~25).  Under
+        plain jit only the taken branch executes; nothing in the
+        restart tier is vmapped.
+        """
         broke = b <= rtol * scale
-        r = jax.random.normal(jax.random.fold_in(key, j), (n,),
-                              dtype=dtype)
-        r = r / jnp.linalg.norm(r)
-        r = _project_out(basis_rows, r)
-        r = _project_out(basis_rows, r)
-        rn = jnp.linalg.norm(r).astype(real_dtype)
-        exhausted = rn <= jnp.sqrt(jnp.asarray(float(n), real_dtype)) * rtol
+
+        def mk_restart(_):
+            r = jax.random.normal(jax.random.fold_in(key, j), (n,),
+                                  dtype=dtype)
+            r = r / jnp.linalg.norm(r)
+            r = _project_out(basis_rows, r)
+            r = _project_out(basis_rows, r)
+            rn = jnp.linalg.norm(r).astype(real_dtype)
+            exhausted = rn <= (jnp.sqrt(jnp.asarray(float(n), real_dtype))
+                               * rtol)
+            return r / jnp.maximum(rn, tiny).astype(dtype), exhausted
+
+        def mk_advance(_):
+            return (w / jnp.where(b > 0, b, 1.0),
+                    jnp.zeros((), jnp.bool_))
+
+        q_cand, exhausted = lax.cond(broke, mk_restart, mk_advance, None)
         dead_out = jnp.logical_or(dead_in,
                                   jnp.logical_and(broke, exhausted))
-        q_next = jnp.where(
-            dead_out, jnp.zeros_like(w),
-            jnp.where(broke, r / jnp.maximum(rn, tiny).astype(dtype),
-                      w / jnp.where(b > 0, b, 1.0)))
+        q_next = jnp.where(dead_out, jnp.zeros_like(w), q_cand)
         beta_out = jnp.where(jnp.logical_or(broke, dead_out),
                              jnp.zeros_like(b), b)
         return q_next, beta_out, dead_in, dead_out
