@@ -381,11 +381,17 @@ def _aux_config(script: str, extra_args=(), timeout: int = 1200,
                     break
             if got is not None:
                 return got
+            # No JSON with a completed process = deterministic failure
+            # (accuracy gate, bad flag) — retrying would just replay it.
             print(f"# aux {script}: no JSON line ({proc.stderr[-300:]})",
                   file=sys.stderr)
-        except Exception as exc:
-            print(f"# aux {script} failed (attempt {attempt + 1}): {exc}",
+            return None
+        except subprocess.TimeoutExpired:
+            print(f"# aux {script} timed out (attempt {attempt + 1})",
                   file=sys.stderr)
+        except Exception as exc:
+            print(f"# aux {script} failed: {exc}", file=sys.stderr)
+            return None
         if attempt < tries - 1:
             time.sleep(120)
     return None

@@ -62,7 +62,6 @@ def main():
           f"cycles={args.cycles}", file=sys.stderr)
 
     if args.stepped:
-        import functools
         from dominantsparseeigenad_tpu import (restart_cycle, restart_init,
                                                restart_extract)
         from dominantsparseeigenad_tpu.models.tfim import flip_sum
@@ -72,10 +71,10 @@ def main():
             extreme="min", reorth_passes=1))
         # Donate the incoming state: the out-state aliases it, so the
         # persistent footprint between cycles is ONE RestartState.
-        cyc = jax.jit(functools.partial(
+        cyc = jax.jit(
             lambda st, g: restart_cycle(
                 tfim_operator(args.n, g, dtype=dtype), st, args.k,
-                extreme="min", reorth_passes=1)), donate_argnums=(0,))
+                extreme="min", reorth_passes=1), donate_argnums=(0,))
 
         @jax.jit
         def fin(st, g):
