@@ -801,3 +801,81 @@ def test_fuzz_spectral_slice_format_parity():
                                    rtol=1e-10)
         np.testing.assert_allclose(results["mf"], results["dense"],
                                    rtol=1e-10)
+
+
+def test_fuzz_operator_algebra_composites():
+    """Random composites (shift/scale/sum over mixed dense/CSR/matrix-
+    free backings) through dominant_eigh: the operator ALGEBRA must be
+    exactly transparent to the solver — eigenvalues vs a numpy oracle
+    built from the same composite, and scale-parameter gradients vs FD."""
+    import scipy.sparse as sp
+    from dominantsparseeigenad_tpu.ops.operators import (ScaledOperator,
+                                                         ShiftedOperator,
+                                                         SumOperator)
+
+    n = 40
+    for seed in range(8):
+        rng = np.random.default_rng(9700 + seed)
+        a_np = rng.standard_normal((n, n))
+        a_np = (a_np + a_np.T) / 2
+        b_np = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.3)
+        b_np = (b_np + b_np.T) / 2
+        shift = float(rng.standard_normal())
+        scale = float(rng.standard_normal() + 2.0)
+
+        csr_np = sp.csr_matrix(b_np)
+        bop = CSROperator(jnp.asarray(csr_np.indptr, jnp.int32),
+                          jnp.asarray(csr_np.indices, jnp.int32),
+                          jnp.asarray(csr_np.data), n)
+
+        def composite(t):
+            # (a + t*scale*b) - shift I, mixing backings
+            aop = DenseOperator(jnp.asarray(a_np))
+            return ShiftedOperator(
+                SumOperator(aop, ScaledOperator(bop, t * scale)),
+                jnp.float64(shift))
+
+        comp_np = lambda t: a_np + t * scale * b_np - shift * np.eye(n)
+        lam, v = dominant_eigh(composite(jnp.float64(1.0)), k=n,
+                               extreme="min")
+        w = np.linalg.eigvalsh(comp_np(1.0))
+        np.testing.assert_allclose(float(lam), w[0], rtol=1e-9,
+                                   err_msg=f"seed {seed}")
+        if w[1] - w[0] < 1e-3:
+            continue
+        g = jax.grad(lambda t: dominant_eigh(composite(t), k=n,
+                                             extreme="min")[0])(
+            jnp.float64(1.0))
+        eps = 1e-6
+        num = (np.linalg.eigvalsh(comp_np(1 + eps))[0]
+               - np.linalg.eigvalsh(comp_np(1 - eps))[0]) / (2 * eps)
+        np.testing.assert_allclose(float(g), num, rtol=1e-6, atol=1e-8,
+                                   err_msg=f"seed {seed}")
+
+
+def test_fuzz_generalized_pencil_illconditioned_b():
+    """dominant_eigh_gen with B spanning 3 decades of conditioning —
+    the B-metric LOBPCG's whitening is where ill-conditioned mass
+    matrices bite; eigenvalues vs scipy at every seed."""
+    import scipy.linalg as sla
+    from dominantsparseeigenad_tpu import dominant_eigh_gen
+
+    n, r = 36, 3
+    for seed in range(8):
+        rng = np.random.default_rng(9800 + seed)
+        a_np = rng.standard_normal((n, n))
+        a_np = (a_np + a_np.T) / 2
+        condb = 10.0 ** rng.uniform(1, 3)
+        d = np.exp(rng.uniform(0, np.log(condb), n))
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        b_np = q @ np.diag(d) @ q.T
+        lams, x = dominant_eigh_gen(jnp.asarray(a_np), jnp.asarray(b_np),
+                                    r=r, maxiter=1200, tol=1e-11)
+        ref = sla.eigh(a_np, b_np, eigvals_only=True)[:r]
+        np.testing.assert_allclose(np.asarray(lams), ref, rtol=1e-6,
+                                   atol=1e-9,
+                                   err_msg=f"seed {seed} cond {condb:.0f}")
+        # B-orthonormality of the returned block.
+        gram = np.asarray(x).T @ b_np @ np.asarray(x)
+        np.testing.assert_allclose(gram, np.eye(r), atol=5e-7,
+                                   err_msg=f"seed {seed}")
