@@ -154,6 +154,13 @@ class SliceOptions:
     seed: int = 0
     bounds_k: int = 30
     gap_eps: float = 1e-12
+    # Optional SPD approximate inverse used by the DERIVATIVE solves
+    # only (the deflated (A - lam_i) MINRES systems; the LOBPCG forward
+    # runs on the FILTERED operator, whose spectrum an A-based
+    # preconditioner does not approximate).  Static aux data hashed by
+    # identity — pass a stable callable, e.g.
+    # ``jacobi_precond(op, shift=0.5 * (a + b))``.
+    solve_precond: object = None
 
 
 def _slice_forward(op, a: float, b: float, opts: SliceOptions):
@@ -243,7 +250,8 @@ def _spectral_slice_jvp(a, b, opts, primals, tangents):
     def one(lam_i, b_i):
         return solve_deflated(op, lam_i, v, b_i, method="minres",
                               tol=opts.solve_tol,
-                              maxiter=opts.solve_maxiter)
+                              maxiter=opts.solve_maxiter,
+                              precond=opts.solve_precond)
 
     dv_out = jax.vmap(one, in_axes=(0, 1), out_axes=1)(lams, rhs)
     from .eigh import _pivot_phase_project
@@ -256,7 +264,8 @@ def spectral_slice(op, a: float, b: float, r: int = 8, *,
                    degree: int = 80, maxiter: int = 150,
                    tol: float = 1e-8, solve_tol: float | None = None,
                    solve_maxiter: int | None = None, seed: int = 0,
-                   bounds_k: int = 30, gap_eps: float = 1e-12):
+                   bounds_k: int = 30, gap_eps: float = 1e-12,
+                   solve_precond=None):
     """The ``r`` eigenpairs of a symmetric operator nearest/inside the
     interval ``[a, b]``, differentiable to arbitrary order.
 
@@ -275,6 +284,11 @@ def spectral_slice(op, a: float, b: float, r: int = 8, *,
               ``info``; floored at 50*eps).
     solve_tol / solve_maxiter : deflated-MINRES controls for the
               derivative solves (default: ``tol``).
+    solve_precond : optional SPD approximate inverse for the derivative
+              solves (preconditioned deflated MINRES) — e.g.
+              ``jacobi_precond(op, shift=0.5 * (a + b))``; pass a STABLE
+              callable (jit-static, keyed by identity).  The filtered
+              LOBPCG forward is unaffected.
     bounds_k: Lanczos steps for the spectral enclosure.
 
     Returns ``(lams, V, info)`` — ``lams`` (r,) ascending, ``V`` (N, r)
@@ -302,7 +316,8 @@ def spectral_slice(op, a: float, b: float, r: int = 8, *,
         r=r, degree=int(degree), maxiter=int(maxiter), tol=float(tol),
         solve_tol=float(tol if solve_tol is None else solve_tol),
         solve_maxiter=None if solve_maxiter is None else int(solve_maxiter),
-        seed=int(seed), bounds_k=int(bounds_k), gap_eps=float(gap_eps))
+        seed=int(seed), bounds_k=int(bounds_k), gap_eps=float(gap_eps),
+        solve_precond=solve_precond)
     return _spectral_slice(op, a, b, opts)
 
 

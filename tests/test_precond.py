@@ -352,3 +352,45 @@ def test_interior_eigh_precond():
     num = (lam_at(a_np + eps * da_np) - lam_at(a_np - eps * da_np)) \
         / (2 * eps)
     np.testing.assert_allclose(float(g), num, rtol=1e-5, atol=1e-7)
+
+
+def test_spectral_slice_solve_precond():
+    """spectral_slice(solve_precond=...): derivative parity with the
+    unpreconditioned path and FD agreement — the last MINRES consumer
+    wired to the constructors."""
+    from dominantsparseeigenad_tpu import spectral_slice
+
+    n, r = 48, 3
+    rng = np.random.default_rng(41)
+    d = np.sort(np.concatenate([np.linspace(-0.4, 0.4, r),
+                                rng.uniform(0.7, 30.0, (n - r) // 2),
+                                -rng.uniform(0.7, 30.0,
+                                             n - r - (n - r) // 2)]))
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a_np = q @ np.diag(d) @ q.T
+    a = jnp.asarray(a_np)
+    da_np = rng.standard_normal((n, n))
+    da_np = (da_np + da_np.T) / 2
+    da = jnp.asarray(da_np)
+    m = jacobi_precond(DenseOperator(a), shift=0.0)
+
+    def s_with(precond):
+        def f(t):
+            lams, _, _ = spectral_slice(a + t * da, -0.5, 0.5, r=r,
+                                        degree=90, maxiter=200, tol=1e-9,
+                                        solve_precond=precond)
+            return jnp.sum(lams)
+        return jax.jvp(f, (jnp.float64(0.0),), (jnp.float64(1.0),))
+
+    (v0, g0) = s_with(None)
+    (v1, g1) = s_with(m)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-9)
+    np.testing.assert_allclose(float(g1), float(g0), rtol=1e-7)
+    eps = 1e-6
+
+    def s_at(mat):
+        w = np.linalg.eigvalsh(mat)
+        return w[(w >= -0.5) & (w <= 0.5)].sum()
+
+    num = (s_at(a_np + eps * da_np) - s_at(a_np - eps * da_np)) / (2 * eps)
+    np.testing.assert_allclose(float(g1), num, rtol=1e-6, atol=1e-8)
