@@ -145,10 +145,12 @@ def _lanczos_step(op, key, reorthogonalize, reorth_passes, real_dtype,
     ``basis[:active_rows]`` slab only — the segmented-scan caller
     guarantees every written row lies inside it.  The slab is a static
     slice, so the projection compiles to two plain matmuls (measured at
-    HBM bandwidth on the chip: ~600 GB/s streaming the slab twice per
-    step — the exact-projection floor; halving that would need delayed/
-    s-step reorthogonalization, a numerics trade this library doesn't
-    make).
+    HBM bandwidth on the chip: 510-755 GB/s = 62-92% of the v5e's
+    819 GB/s peak streaming the slab twice per step, re-measured
+    round 5 with scalar-output timing — a Pallas replacement was
+    prototyped and ran 3x SLOWER, so this is the exact-projection
+    floor; halving the traffic would need delayed/s-step
+    reorthogonalization, a numerics trade this library doesn't make).
 
     ``r_perp`` selects the breakdown-restart mechanism (see
     :func:`lanczos` ``restart_mode``): ``None`` = the lazy ``lax.cond``
