@@ -879,3 +879,61 @@ def test_fuzz_generalized_pencil_illconditioned_b():
         gram = np.asarray(x).T @ b_np @ np.asarray(x)
         np.testing.assert_allclose(gram, np.eye(r), atol=5e-7,
                                    err_msg=f"seed {seed}")
+
+
+def test_fuzz_model_families_vs_dense():
+    """Random-parameter sweeps over the MODEL families (XXZ chain, 1D
+    and 2D TFIM): matrix-free ground energies vs dense eigh oracles,
+    and two-parameter XXZ gradients vs FD — the targeted model tests
+    pin single couplings; this sweeps the parameter planes."""
+    from dominantsparseeigenad_tpu.models import (heisenberg_dense,
+                                                  heisenberg_operator,
+                                                  tfim2d_dense_hamiltonian,
+                                                  tfim2d_operator,
+                                                  tfim_dense_hamiltonian,
+                                                  tfim_operator)
+
+    for seed in range(8):
+        rng = np.random.default_rng(9900 + seed)
+
+        # XXZ chain: random (j, jz) incl. sign flips and anisotropy.
+        n = 8
+        jv = float(rng.uniform(-2.0, 2.0))
+        jz = float(rng.uniform(-2.0, 2.0))
+        lam, _ = dominant_eigh(heisenberg_operator(n, jv, jz), k=80,
+                               extreme="min", tol=1e-12)
+        w = np.linalg.eigvalsh(np.asarray(heisenberg_dense(n, jv, jz)))
+        np.testing.assert_allclose(float(lam), w[0], rtol=1e-10,
+                                   err_msg=f"xxz seed {seed}")
+        w_gap = w[1] - w[0]
+        if w_gap > 1e-3:
+            g = jax.grad(lambda p: dominant_eigh(
+                heisenberg_operator(n, p[0], p[1]), k=80, extreme="min",
+                tol=1e-12)[0])(jnp.asarray([jv, jz]))
+            eps = 1e-6
+            for i, (dj, djz) in enumerate([(eps, 0.0), (0.0, eps)]):
+                num = (np.linalg.eigvalsh(np.asarray(
+                            heisenberg_dense(n, jv + dj, jz + djz)))[0]
+                       - np.linalg.eigvalsh(np.asarray(
+                            heisenberg_dense(n, jv - dj, jz - djz)))[0]
+                       ) / (2 * eps)
+                np.testing.assert_allclose(float(g[i]), num, rtol=1e-5,
+                                           atol=1e-7,
+                                           err_msg=f"xxz seed {seed} p{i}")
+
+        # 1D TFIM at a random coupling (incl. near-critical).
+        gq = float(rng.uniform(0.2, 1.8))
+        lam1, _ = dominant_eigh(tfim_operator(10, gq), k=80,
+                                extreme="min", tol=1e-12)
+        w1 = np.linalg.eigvalsh(np.asarray(tfim_dense_hamiltonian(10, gq)))
+        np.testing.assert_allclose(float(lam1), w1[0], rtol=1e-10,
+                                   err_msg=f"tfim seed {seed}")
+
+        # 2D TFIM on the smallest torus.
+        g2 = float(rng.uniform(0.3, 3.0))
+        lam2, _ = dominant_eigh(tfim2d_operator(3, 3, g2), k=100,
+                                extreme="min", tol=1e-12)
+        w2 = np.linalg.eigvalsh(np.asarray(
+            tfim2d_dense_hamiltonian(3, 3, g2)))
+        np.testing.assert_allclose(float(lam2), w2[0], rtol=1e-10,
+                                   err_msg=f"tfim2d seed {seed}")
