@@ -510,17 +510,15 @@ def run_aux_configs(record: dict) -> None:
         # hold this point at all; measured E0 rel err 4.1e-7 vs JW.
         record["scaling_n26_restart_s"] = r.get("value")
         record["scaling_n26_rel_err"] = r.get("vs_baseline")
-    r = _aux_config("restart_bench.py", ("--n", "27", "--k", "15",
-                                         "--cycles", "40", "--stepped",
+    r = _aux_config("restart_bench.py", ("--n", "27", "--k", "14",
+                                         "--cycles", "44", "--stepped",
                                          "--repeats", "1"), timeout=1800)
     if r:
         # N=27 = 134M-dim on ONE 16 GB chip: the cycle-stepped driver
-        # (donated RestartState between jitted cycles) plus the
-        # row-major contraction fix (restart.py round 5: the transposed
-        # basis GEMM operand materialized an 8 GiB layout copy) plus a
-        # tile-aligned window (k+1 multiple of 8 — T(8,128) padding
-        # otherwise wastes 1.4x) bring peak HBM under the fused
-        # program's double-buffered footprint.  JW-asserted in-script.
+        # (donated RestartState between jitted cycles) + the row-list
+        # _cycle (no slab in any scan carry -> no per-step 8 GiB copy,
+        # triangular reorth traffic, and no T(8,128) row-padding
+        # constraint on k).  JW-asserted in-script; 21 s measured.
         record["scaling_n27_stepped_s"] = r.get("value")
         record["scaling_n27_rel_err"] = r.get("vs_baseline")
 

@@ -59,7 +59,21 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
     complement left (space exhausted) the remaining steps go DEAD: zero
     vectors, zero couplings, and their spurious t-diagonal entries are
     pushed past the requested spectral end so Ritz extraction never
-    selects them."""
+    selects them.
+
+    Implementation note (round-5 profiling at N = 2^27): the cycle is a
+    PYTHON-UNROLLED loop over a LIST of row vectors, not a ``lax.scan``
+    over an (k+1, N) slab.  A dynamic row update of a slab carried
+    through scan makes XLA COPY the whole buffer every step (measured
+    28.5 ms/step for a trivial body at 2^27 — the copy alone was ~a
+    third of the restart tier's wall time), and the slab projection
+    reads the full window including its not-yet-written zero rows.  The
+    row list pays neither: no carry copy, and reorthogonalization
+    traffic is triangular (only written rows are read).  Restart
+    windows are small (k ≲ 32), so the unrolled trace stays cheap; the
+    big-k single-shot engine keeps its scan (its slab is tiny relative
+    to these N).
+    """
     l = state.theta.shape[0]
     n, dtype = op.dim, state.q.dtype
     real_dtype = jnp.finfo(dtype).dtype
@@ -67,8 +81,9 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
     tiny = jnp.finfo(real_dtype).tiny
     key = jax.random.PRNGKey(0x5452)  # deterministic restart stream
 
-    basis = jnp.zeros((k + 1, n), dtype=dtype)
-    basis = basis.at[:l].set(state.y).at[l].set(state.q)
+    # The window as a PYTHON LIST of (n,) rows (see the docstring's
+    # implementation note): rows[j] is basis row j.
+    rows = [state.y[i] for i in range(l)] + [state.q]
 
     t = jnp.zeros((k, k), dtype=real_dtype)
     t = t.at[jnp.arange(l), jnp.arange(l)].set(state.theta)
@@ -81,17 +96,25 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
     # cycle's basis orthonormality.
     dead0 = jnp.linalg.norm(state.q) < 0.5
 
-    def continuation(basis_rows, w, b, scale, dead_in, j):
+    def project_rows(w):
+        """w - sum_j rows[j] <rows[j], w> — the copy-free triangular
+        projection: coefficients in one fused sweep, then one fused
+        multiply-add chain; HIGHEST-effective precision (plain f32
+        dots/axpys, no bf16 matmul pass involved)."""
+        cs = [hdot(r, w) for r in rows]
+        acc = rows[0] * cs[0]
+        for r, c in zip(rows[1:], cs[1:]):
+            acc = acc + r * c
+        return w - acc
+
+    def continuation(w, b, scale, dead_in, j):
         """(q_next, beta_out, row_dead, dead_out) after step ``j``.
 
-        The restart path (fresh RNG vector + TWO full-slab projections)
-        sits under ``lax.cond`` so the common no-breakdown step never
-        pays it — it used to run UNCONDITIONALLY every step, and at
-        N = 2^27 those two extra slab passes were ~2/3 of the whole
-        restart-tier wall time (round-5 profiling: 120 ms/step, of
-        which the matvec was 14 and the genuine reorth ~25).  Under
-        plain jit only the taken branch executes; nothing in the
-        restart tier is vmapped.
+        The restart path (fresh RNG vector + two full projections) sits
+        under ``lax.cond`` so the common no-breakdown step never pays it
+        — it used to run UNCONDITIONALLY every step, ~2/3 of the whole
+        restart-tier wall time at N = 2^27.  Under plain jit only the
+        taken branch executes; nothing in the restart tier is vmapped.
         """
         broke = b <= rtol * scale
 
@@ -99,8 +122,8 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
             r = jax.random.normal(jax.random.fold_in(key, j), (n,),
                                   dtype=dtype)
             r = r / jnp.linalg.norm(r)
-            r = _project_out(basis_rows, r)
-            r = _project_out(basis_rows, r)
+            r = project_rows(r)
+            r = project_rows(r)
             rn = jnp.linalg.norm(r).astype(real_dtype)
             exhausted = rn <= (jnp.sqrt(jnp.asarray(float(n), real_dtype))
                                * rtol)
@@ -122,46 +145,44 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
     w = op.matvec(state.q)
     alpha = jnp.real(hdot(state.q, w)).astype(real_dtype)
     alpha = jnp.where(dead0, jnp.zeros_like(alpha), alpha)
-    # HIGHEST-precision GEMMs (shared policy, operators.hmatmul):
+    # HIGHEST-precision contraction (shared policy, operators.hmatmul):
     # reorthogonalizing at the TPU's default bf16 pass leaves ~4e-3
     # components along the basis and destroys the semi-orthogonality the
     # recurrence needs; restart_init pins _mm, the cycles must too.
     w = w - alpha * state.q - _mm(state.s.astype(dtype), state.y)
     for _ in range(reorth_passes):
-        w = w - _mm(basis.T, _mm(basis.conj(), w))
+        w = project_rows(w)
     beta = jnp.linalg.norm(w).astype(real_dtype)
     scale0 = jnp.abs(alpha) + jnp.linalg.norm(state.s) + 1.0
-    q_next, beta, row_dead0, dead = continuation(basis, w, beta, scale0,
-                                                 dead0, l)
+    q_next, beta, row_dead0, dead = continuation(w, beta, scale0, dead0, l)
     t = t.at[l, l].set(alpha)
     if l + 1 < k:
         t = t.at[l + 1, l].set(beta).at[l, l + 1].set(beta)
-    basis = basis.at[l + 1].set(q_next)
+    rows.append(q_next)
 
-    # Steps l+1 .. k-1: plain tridiagonal recurrence with full reorth.
-    def step(carry, j):
-        basis, t, q, q_prev, beta_prev, dead_in = carry
+    # Steps l+1 .. k-1: plain tridiagonal recurrence with full reorth,
+    # PYTHON-UNROLLED (static j: t updates need no lax.cond, and the
+    # window never rides a scan carry).
+    q, q_prev, beta_prev = q_next, state.q, beta
+    beta_last = beta
+    row_dead_list = []
+    for j in range(l + 1, k):
         w = op.matvec(q)
         a = jnp.real(hdot(q, w)).astype(real_dtype)
-        a = jnp.where(dead_in, jnp.zeros_like(a), a)
+        a = jnp.where(dead, jnp.zeros_like(a), a)
         w = w - a * q - beta_prev * q_prev
         for _ in range(reorth_passes):
-            w = w - _mm(basis.T, _mm(basis.conj(), w))
+            w = project_rows(w)
         b = jnp.linalg.norm(w).astype(real_dtype)
         scale = jnp.sqrt(a * a + beta_prev * beta_prev) + 1.0
-        qn, b_out, row_dead, dead_out = continuation(basis, w, b, scale,
-                                                     dead_in, j)
+        qn, b_out, row_dead, dead = continuation(w, b, scale, dead, j)
         t = t.at[j, j].set(a)
-        t = lax.cond(
-            j + 1 < k,
-            lambda t: t.at[j + 1, j].set(b_out).at[j, j + 1].set(b_out),
-            lambda t: t, t)
-        # j runs over [l+1, k-1], so j + 1 <= k always: write directly.
-        basis = basis.at[j + 1].set(qn)
-        return (basis, t, qn, q, b_out, dead_out), (b_out, row_dead)
-
-    (basis, t, _, _, beta_last, _), (_, row_deads) = lax.scan(
-        step, (basis, t, q_next, state.q, beta, dead), jnp.arange(l + 1, k))
+        if j + 1 < k:
+            t = t.at[j + 1, j].set(b_out).at[j, j + 1].set(b_out)
+        rows.append(qn)
+        row_dead_list.append(row_dead)
+        q, q_prev, beta_prev = qn, q, b_out
+        beta_last = b_out
 
     # Dead rows contributed alpha = 0 with zero couplings; shift those
     # spurious diagonal zeros PAST the requested spectral end (Gershgorin
@@ -170,7 +191,8 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
     # across the zeroed couplings, so the shift is exact.
     dead_mask = jnp.zeros((k,), bool)
     dead_mask = dead_mask.at[l].set(row_dead0)
-    dead_mask = dead_mask.at[l + 1:].set(row_deads)
+    if row_dead_list:
+        dead_mask = dead_mask.at[l + 1:].set(jnp.stack(row_dead_list))
     bound = jnp.sum(jnp.abs(t)) + 1.0
     shift = bound if extreme == "min" else -bound
     t = t + jnp.diag(jnp.where(dead_mask, shift, 0.0))
@@ -180,14 +202,20 @@ def _cycle(op, state: RestartState, k: int, extreme: str,
              else k - 1 - jnp.arange(l + 1))
     theta = evals[order]
     sel = evecs[:, order]                                     # (k, l+1)
-    # Contract against the ROW-MAJOR basis buffer: (l+1, k) @ (k, N).
-    # The transposed form _mm(basis[:k].T, sel).T forced XLA to
-    # MATERIALIZE an (N, k) copy of the window — at N = 2^27 that one
-    # layout copy was 8 GiB, half the chip (found pushing the restart
-    # tier to the 134M-dim decade).
-    y = _mm(sel.T.astype(dtype), basis[:k])                   # (l+1, N)
+    # Ritz recombination WITHOUT materializing a (k, N) stack (at
+    # N = 2^27 the stack is another 8 GiB on top of the live rows —
+    # OOM): one fused multiply-add chain over the rows per retained
+    # vector, the same copy-free pattern as project_rows.
+    sel_d = sel.astype(dtype)
+    ys = []
+    for i in range(l + 1):
+        acc = rows[0] * sel_d[0, i]
+        for j in range(1, k):
+            acc = acc + rows[j] * sel_d[j, i]
+        ys.append(acc)
+    y = jnp.stack(ys)                                         # (l+1, N)
     s = (beta_last * sel[k - 1, :]).astype(real_dtype)
-    return RestartState(theta=theta, y=y, s=s, q=basis[k])
+    return RestartState(theta=theta, y=y, s=s, q=rows[k])
 
 
 def restart_init(op, k: int = 64, *, num_kept: int | None = None,
