@@ -46,9 +46,15 @@ if not TPU_LANE:
 # The suite is XLA-compile dominated (the heavy TRG/CTMRG and shard_map
 # tests spend 20-30 s each tracing+compiling); persist compiled
 # executables across runs so only the first run after a code change pays
-# full price.  Safe under pytest-xdist: the cache is file-per-key with
-# atomic writes.
-_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
-                          ".jax_cache_tests")
+# full price.  PER-XDIST-WORKER cache directories: a shared directory is
+# NOT safe in practice — a half-written entry (e.g. a worker killed
+# mid-write) persists on disk and deterministically SEGFAULTS every
+# later reader inside jax's cache deserialization (observed round 5:
+# one poisoned key crashed the same worker on the same test in every
+# full-suite run until the directory was wiped).  Worker ids are stable
+# (gw0..gwN), so each worker still reuses its own cache across runs.
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), os.pardir,
+    ".jax_cache_tests" + os.environ.get("PYTEST_XDIST_WORKER", ""))
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

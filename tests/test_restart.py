@@ -106,12 +106,11 @@ def test_restart_tiny_operator_retains_a_ritz_vector():
         restart_init(a, k=3, num_kept=0)
 
 
-def test_stepped_driver_with_donation_matches_fused():
-    """The cycle-stepped Python driver — jitted restart_cycle with the
-    incoming state DONATED, exactly how benchmarks/restart_bench.py
-    --stepped drives the 134M-dim N=27 point — must reproduce the fused
+def test_stepped_driver_matches_fused():
+    """The cycle-stepped Python driver (how benchmarks/restart_bench.py
+    --stepped drives the 134M-dim N=27 point, minus the TPU-side state
+    donation — see the note below) must reproduce the fused
     lanczos_restarted result."""
-    import functools
     from dominantsparseeigenad_tpu import (DenseOperator, lanczos_restarted,
                                            restart_cycle, restart_extract,
                                            restart_init)
@@ -124,13 +123,20 @@ def test_stepped_driver_with_donation_matches_fused():
 
     lam_f, v_f, res_f = lanczos_restarted(op, k, n_restarts=cycles)
 
-    init = jax.jit(lambda: restart_init(op, k=k, extreme="min"))
-    cyc = jax.jit(functools.partial(restart_cycle, op, k=k,
-                                    extreme="min"),
-                  donate_argnums=(0,))
-    st = init()
+    # The matrix rides as a RUNTIME argument, not a jit closure: a
+    # nullary jit (everything closed over) invites XLA to constant-fold
+    # the entire forward at compile time, which segfaulted loaded xdist
+    # workers (reproducible only in the full parallel suite).  The
+    # bench's real driver additionally donates the state on the TPU;
+    # values are identical either way.
+    init = jax.jit(lambda a_mat: restart_init(
+        DenseOperator(a_mat), k=k, extreme="min"))
+    cyc = jax.jit(lambda a_mat, st: restart_cycle(
+        DenseOperator(a_mat), st, k, extreme="min"))
+    a_dev = jnp.asarray(a_np)
+    st = init(a_dev)
     for _ in range(cycles):
-        st, _ = cyc(st)
+        st, _ = cyc(a_dev, st)
     lam_s, v_s, res_s = restart_extract(st)
 
     np.testing.assert_allclose(float(lam_s), float(lam_f), rtol=1e-12)
