@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .lanczos import _breakdown_rel_tol, _mm, _project_out
+from .lanczos import _breakdown_rel_tol, _mm
 from .operators import as_operator, hdot, pivot_gauge
 
 
