@@ -340,6 +340,12 @@ def run_jax_staged(max_tries: int = 3, stage_timeout: int = 900):
         device_ever = device_ever or device_ok
         env = dict(os.environ)
         if not device_ok:
+            if slow_result is not None:
+                # A real (if slow) chip measurement beats any CPU
+                # fallback: if the device vanished after the slow
+                # reading, report the honest slow number rather than
+                # replacing device evidence with a CPU timing.
+                return slow_result
             if attempt < max_tries - 1:
                 # Not the last attempt: keep waiting for the device
                 # rather than burning an attempt on a CPU run.

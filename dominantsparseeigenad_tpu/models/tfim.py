@@ -374,7 +374,13 @@ def tfim_observables_sweep(n: int, gs, *, k: int = 100, tol: float = 1e-10,
     # breakdown-restart branch (RNG + full-basis projection) would charge
     # every lane ~half its per-problem budget; the carried restart
     # direction is the vmap-friendly equivalent (see lanczos.lanczos).
-    eigh_kwargs.setdefault("restart_mode", "carry")
+    # Only injected for the plain fixed-k forward: dominant_eigh rejects
+    # restart_mode != "cond" alongside restart_cycles/early_exit_tol, and
+    # blaming an argument the caller never passed would be misleading
+    # (those engines run under lax.scan/while, not vmap-hostile cond).
+    if (not eigh_kwargs.get("restart_cycles")
+            and eigh_kwargs.get("early_exit_tol") is None):
+        eigh_kwargs.setdefault("restart_mode", "carry")
 
     def one(g):
         def ground(gg):

@@ -680,7 +680,15 @@ def dominant_eig_pair(op, num_iters: int = 500, *, tol: float = 1e-10,
     operator.
 
     Returns ``(lam, l, r)`` complex, with ``||r|| = 1``, pivot entry of
-    ``r`` real positive, and the BILINEAR normalization ``l^T r = 1``.
+    ``r`` real positive, and the BILINEAR normalization ``l^T r = 1`` —
+    except when the pair is numerically DEFECTIVE (left/right cosine
+    ``|l^T r|/(||l|| ||r||)`` below ~100 eps, e.g. a perturbed Jordan
+    block): there the bilinear scale ``1/l^T r`` would overflow, so
+    ``l`` is returned UNIT-NORM instead and ``with_info=True`` reports
+    ``converged = 0``.  Downstream consumers that rely on the bilinear
+    contract (IFT tangents, Wielandt deflation) must treat that flag as
+    "no usable pair" — :func:`dominant_eig_spectrum` raises on it at
+    structure-discovery time.
     The heavy iteration is all-real (chip-friendly; its f32 convergence
     is asserted on hardware); only the final (n, 2) recombination and
     the IFT tangents are complex, which needs a backend with complex
@@ -929,6 +937,28 @@ def dominant_eig_spectrum(op, m: int = 4, *, num_iters: int = 500,
                 cur, num_iters=num_iters, tol=tol, maxiter=maxiter,
                 seed=seed + stage, power_tol=power_tol, solver=solver)
             if structure is None:
+                # A near-defective pair has NO finite spectral projector:
+                # the solver's overflow guard then returns l UNIT-NORM
+                # instead of bilinearly normalized (see dominant_eig_pair),
+                # and deflating with that l would NOT remove the pair —
+                # the next stage re-finds it and every later eigenvalue
+                # is silently wrong.  Fail loudly at discovery instead
+                # (replay of a certified structure never re-checks; this
+                # sync rides the existing eager per-stage decision).
+                cos_lr = float(jnp.abs(jnp.sum(l * r))
+                               / jnp.maximum(jnp.linalg.norm(l)
+                                             * jnp.linalg.norm(r), 1e-300))
+                # 10x the solver's defect floor (100 eps): below it the
+                # guard fired (or is about to) and l's scale is unusable;
+                # merely ill-conditioned pairs above it keep the exact
+                # bilinear deflation and stay allowed.
+                if cos_lr < 1000 * float(jnp.finfo(op.dtype).eps):
+                    raise RuntimeError(
+                        f"dominant_eig_spectrum stage {stage}: the "
+                        f"dominant pair is numerically defective "
+                        f"(left/right cosine {cos_lr:.2e}); its spectral "
+                        f"projector has no finite Wielandt deflation, so "
+                        f"the remaining spectrum cannot be extracted")
                 # The probe labels DEGENERATE REAL clusters "pair" too
                 # (its rank-1 collapse stalls on any tied moduli); the
                 # pair solve resolves the 2x2 block exactly, so gate on

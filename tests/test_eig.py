@@ -610,3 +610,32 @@ def test_spectrum_structure_replay_order2_mixed():
     num2 = (oracle(eps) - 2 * oracle(0.0) + oracle(-eps)) / eps ** 2
     np.testing.assert_allclose(float(d1), num1, rtol=1e-6)
     np.testing.assert_allclose(float(d2), num2, rtol=1e-3)
+
+
+def test_pair_defective_guard_finite_and_flagged():
+    """An exactly DEFECTIVE dominant pair (Jordan-coupled rotation
+    blocks: algebraic multiplicity 2x the geometric) has l -> l^T r = 0;
+    the bilinear normalization must not emit inf/NaN vectors, and the
+    with_info convergence flag must read 0 so consumers know the
+    l^T r = 1 contract could not be delivered (round-5 review)."""
+    from dominantsparseeigenad_tpu.ops.eig import dominant_eig_pair
+
+    s, th = 1.3, 0.7
+    rot = s * np.array([[np.cos(th), -np.sin(th)],
+                        [np.sin(th), np.cos(th)]])
+    m = np.zeros((4, 4))
+    m[:2, :2] = rot
+    m[2:, 2:] = rot
+    m[:2, 2:] = np.eye(2)          # Jordan coupling: defective pair
+    lam, l, r, info = dominant_eig_pair(
+        jnp.asarray(m, jnp.float64), num_iters=400, with_info=True)
+    assert np.isfinite(complex(lam).real) and np.isfinite(complex(lam).imag)
+    assert bool(jnp.all(jnp.isfinite(jnp.real(l))))
+    assert bool(jnp.all(jnp.isfinite(jnp.imag(l))))
+    assert bool(jnp.all(jnp.isfinite(jnp.real(r))))
+    # The eigenVALUE itself is still recoverable from the 2x2 block.
+    np.testing.assert_allclose(abs(complex(lam)), s, rtol=1e-2)
+    # But the pair must be flagged: either the subspace residual stalls
+    # (polynomial 1/k convergence of a defective block) or the defect
+    # floor fired — both fold into converged == 0.
+    assert float(info.converged) == 0.0, float(info.converged)

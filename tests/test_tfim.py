@@ -158,3 +158,20 @@ def test_observables_sweep_matches_pointwise():
         np.testing.assert_allclose(out[i, 0], e, rtol=1e-10)
         np.testing.assert_allclose(out[i, 1], de, rtol=1e-8)
         np.testing.assert_allclose(out[i, 2], chi, rtol=1e-6)
+
+
+def test_observables_sweep_forwards_restart_engines():
+    """Forwarding restart_cycles/early_exit_tol through the sweep must
+    not trip dominant_eigh's restart_mode guard on the "carry" default
+    the sweep injects for its own vmap friendliness (round-5 review):
+    the user never passed restart_mode, so no error may blame it."""
+    from dominantsparseeigenad_tpu.models import tfim_observables_sweep
+
+    n = 6
+    gs = jnp.asarray([0.8, 1.3], dtype=jnp.float64)
+    out = jax.jit(lambda z: tfim_observables_sweep(
+        n, z, k=12, tol=1e-12, restart_cycles=2))(gs)
+    assert out.shape == (2, 3)
+    for i, g in enumerate(gs):
+        e = tfim_ground_energy(n, g, k=24, tol=1e-12)
+        np.testing.assert_allclose(out[i, 0], e, rtol=1e-8)
