@@ -937,3 +937,26 @@ def test_fuzz_model_families_vs_dense():
             tfim2d_dense_hamiltonian(3, 3, g2)))
         np.testing.assert_allclose(float(lam2), w2[0], rtol=1e-10,
                                    err_msg=f"tfim2d seed {seed}")
+
+
+def test_fuzz_spectrum_f32_no_spurious_defect_raise():
+    """dominant_eig_spectrum's defect guard (raise at structure
+    discovery when a pair's left/right cosine underflows the bilinear
+    scale) uses a dtype-aware threshold (1000 eps); in f32 that is
+    1.2e-4, the loosest it gets.  Generic random matrices — including
+    near-tied random-Gaussian moduli where late stages legitimately
+    stall — must NEVER trip it, and the dominant stage must still track
+    the f64 oracle."""
+    import numpy as _np
+
+    from dominantsparseeigenad_tpu.ops.eig import dominant_eig_spectrum
+
+    rng = _np.random.default_rng(0)
+    for seed in range(10):
+        n = int(rng.integers(8, 24))
+        m = rng.standard_normal((n, n)).astype(_np.float32)
+        lams, _, _, built = dominant_eig_spectrum(
+            jnp.asarray(m), m=3, num_iters=400, seed=seed)
+        w0 = max(_np.linalg.eigvals(m.astype(_np.float64)), key=abs)
+        got0 = max(_np.asarray(lams), key=abs)
+        assert abs(abs(got0) - abs(w0)) / abs(w0) < 1e-2, (seed, got0, w0)
